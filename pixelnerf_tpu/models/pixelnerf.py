@@ -1,0 +1,228 @@
+"""The conditional radiance field — functional-core pixelNeRF.
+
+Rebuild of the reference's PixelNeRFNet (src/model/models.py). The stateful
+two-phase API (``encode`` caches buffers, ``forward`` reads them; reference
+models.py:89-144, 146-266) becomes:
+
+- ``encode(images, poses, focal, c) -> SceneEncoding`` — an explicit PyTree
+  holding the pixel-aligned feature maps, inverted world->camera poses and
+  normalized intrinsics; and
+- ``query(encoding, xyz, viewdirs, coarse) -> (SB, B, 4)`` rgb+sigma.
+
+Conventions preserved bit-for-bit for checkpoint parity: fy negated at encode
+(models.py:130), projection ``uv = -xy/z * f + c`` (models.py:206-212),
+canonical-frame z feature from the rotation-only transform (models.py:171),
+multi-view fusion through the MLP's combine_inner_dims (models.py:245).
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from ..utils.geometry import invert_pose, repeat_interleave
+from .code import PositionalEncoding
+from .encoder import ImageEncoder, SpatialEncoder, index_latent
+
+
+@flax.struct.dataclass
+class SceneEncoding:
+    """Everything ``query`` needs about the conditioning views.
+
+    Replaces the reference's persistent=False module buffers
+    (models.py:76-84) with an explicit, shardable PyTree.
+    """
+
+    latent: jax.Array                 # (SB*NS, Hl, Wl, C) pixel-aligned features
+    poses: jax.Array                  # (SB*NS, 3, 4) world->camera
+    focal: jax.Array                  # (SB, 2) [fx, -fy]
+    c: jax.Array                      # (SB, 2) principal point
+    image_shape: jax.Array            # (2,) [W, H] of the encoded images
+    num_views: int = flax.struct.field(pytree_node=False, default=1)
+    global_latent: Optional[jax.Array] = None   # (SB*NS, G) if use_global_encoder
+
+
+def _normalize_intrinsic(v, batch: int, name: str) -> jax.Array:
+    """Broadcast focal/c to (SB, 2) (reference models.py:119-141)."""
+    v = jnp.asarray(v, dtype=jnp.float32)
+    if v.ndim == 0:
+        v = jnp.full((batch, 2), v)
+    elif v.ndim == 1:
+        v = jnp.broadcast_to(v[:, None], (v.shape[0], 2))
+    if v.shape[0] == 1 and batch > 1:
+        v = jnp.broadcast_to(v, (batch, 2))
+    assert v.shape == (batch, 2), f"{name} must broadcast to (SB, 2), got {v.shape}"
+    return v
+
+
+class PixelNeRFNet(nn.Module):
+    """Conditional NeRF: CNN-encoded source views condition a residual MLP."""
+
+    encoder: SpatialEncoder
+    mlp_coarse: nn.Module
+    mlp_fine: Optional[nn.Module] = None
+    code: Optional[PositionalEncoding] = None
+    global_encoder: Optional[ImageEncoder] = None
+    use_encoder: bool = True
+    use_xyz: bool = False
+    normalize_z: bool = True
+    use_code_viewdirs: bool = True
+    use_viewdirs: bool = False
+    stop_encoder_grad: bool = False
+
+    @property
+    def use_code(self) -> bool:
+        return self.code is not None
+
+    @property
+    def use_global_encoder(self) -> bool:
+        return self.global_encoder is not None
+
+    @property
+    def d_in(self) -> int:
+        """Spatial-code width feeding the MLP (reference models.py:49-60)."""
+        d_in = 3 if self.use_xyz else 1
+        if self.use_viewdirs and self.use_code_viewdirs:
+            d_in += 3
+        if self.use_code and d_in > 0:
+            d_in = self.code.d_out
+        if self.use_viewdirs and not self.use_code_viewdirs:
+            d_in += 3
+        return d_in
+
+    @property
+    def d_latent(self) -> int:
+        d = self.encoder.latent_size if self.use_encoder else 0
+        if self.use_global_encoder:
+            d += self.global_encoder.latent_size
+        return d
+
+    def __call__(self, images, poses, focal, xyz, viewdirs=None, c=None):
+        """init/trace convenience: encode then query."""
+        enc = self.encode(images, poses, focal, c=c)
+        out = self.query(enc, xyz, viewdirs=viewdirs, coarse=True)
+        if self.mlp_fine is not None:
+            out = self.query(enc, xyz, viewdirs=viewdirs, coarse=False)
+        return out
+
+    def encode(
+        self,
+        images: jax.Array,
+        poses: jax.Array,
+        focal: Any,
+        c: Any = None,
+        train: bool = False,
+    ) -> SceneEncoding:
+        """Encode source views into a :class:`SceneEncoding`.
+
+        :param images: (SB, NS, H, W, 3) in [-1, 1] (NHWC; the reference is
+            NCHW) — SB objects, NS source views each
+        :param poses: (SB, NS, 4, 4) camera-to-world
+        :param focal: scalar, (SB,), or (SB, 2) [fx, fy]
+        :param c: principal point, same formats; default = image center
+        """
+        SB, NS, H, W, _ = images.shape
+        images_flat = images.reshape(SB * NS, H, W, 3)
+        latent = (
+            self.encoder(images_flat, train=train) if self.use_encoder else None
+        )
+        w2c = invert_pose(poses.reshape(SB * NS, 4, 4))
+        image_shape = jnp.array([W, H], dtype=jnp.float32)
+
+        focal = _normalize_intrinsic(focal, SB, "focal")
+        focal = focal * jnp.array([1.0, -1.0])  # image y is down (models.py:130)
+        if c is None:
+            c = jnp.broadcast_to(image_shape * 0.5, (SB, 2))
+        else:
+            c = _normalize_intrinsic(c, SB, "c")
+
+        global_latent = (
+            self.global_encoder(images_flat, train=train)
+            if self.use_global_encoder
+            else None
+        )
+        return SceneEncoding(
+            latent=latent,
+            poses=w2c,
+            focal=focal,
+            c=c,
+            image_shape=image_shape,
+            num_views=NS,
+            global_latent=global_latent,
+        )
+
+    def query(
+        self,
+        enc: SceneEncoding,
+        xyz: jax.Array,
+        viewdirs: Optional[jax.Array] = None,
+        coarse: bool = True,
+    ) -> jax.Array:
+        """Predict (r, g, b, sigma) at world points.
+
+        :param xyz: (SB, B, 3) world-space query points
+        :param viewdirs: (SB, B, 3) world-space view directions
+        :return: (SB, B, 4) — sigmoid(rgb), relu(sigma)
+        """
+        SB, B, _ = xyz.shape
+        NS = enc.num_views
+
+        xyz_rep = repeat_interleave(xyz, NS)                       # (SB*NS, B, 3)
+        rot = enc.poses[:, :3, :3]
+        xyz_rot = jnp.einsum("nij,nbj->nbi", rot, xyz_rep)
+        xyz_cam = xyz_rot + enc.poses[:, None, :3, 3]
+
+        d_in = self.d_in
+        mlp_input = None
+        if d_in > 0:
+            if self.use_xyz:
+                z_feature = xyz_rot if self.normalize_z else xyz_cam
+                z_feature = z_feature.reshape(SB * NS, B, 3)
+            else:
+                z_feature = -(xyz_rot if self.normalize_z else xyz_cam)[..., 2:3]
+
+            if self.use_code and not self.use_code_viewdirs:
+                z_feature = self.code(z_feature)
+
+            if self.use_viewdirs:
+                assert viewdirs is not None
+                vdirs = repeat_interleave(viewdirs, NS)            # (SB*NS, B, 3)
+                vdirs = jnp.einsum("nij,nbj->nbi", rot, vdirs)
+                z_feature = jnp.concatenate([z_feature, vdirs], axis=-1)
+
+            if self.use_code and self.use_code_viewdirs:
+                z_feature = self.code(z_feature)
+            mlp_input = z_feature                                  # (SB*NS, B, d_in)
+
+        if self.use_encoder:
+            uv = -xyz_cam[..., :2] / xyz_cam[..., 2:3]             # (SB*NS, B, 2)
+            focal = repeat_interleave(enc.focal, NS)
+            cc = repeat_interleave(enc.c, NS)
+            uv = uv * focal[:, None, :] + cc[:, None, :]
+            latent = index_latent(
+                enc.latent,
+                uv,
+                enc.image_shape,
+                self.encoder.index_interp,
+                self.encoder.index_padding,
+            )                                                      # (SB*NS, B, C)
+            if self.stop_encoder_grad:
+                latent = jax.lax.stop_gradient(latent)
+            if d_in == 0:
+                mlp_input = latent
+            else:
+                mlp_input = jnp.concatenate([latent, mlp_input], axis=-1)
+
+        if self.use_global_encoder:
+            glob = ImageEncoder.index(enc.global_latent, mlp_input)  # (SB*NS, B, G)
+            mlp_input = jnp.concatenate([glob, mlp_input], axis=-1)
+
+        mlp = self.mlp_coarse if (coarse or self.mlp_fine is None) else self.mlp_fine
+        out = mlp(mlp_input, combine_inner_dims=(NS, B))           # (SB, B, 4)
+        out = out.reshape(SB, B, 4)
+        rgb = nn.sigmoid(out[..., :3])
+        sigma = nn.relu(out[..., 3:4])
+        return jnp.concatenate([rgb, sigma], axis=-1)

@@ -1,0 +1,116 @@
+"""Pixel-aligned feature gather (``grid_sample``) for TPU.
+
+The reference's single non-GEMM hot op is ``F.grid_sample`` over the encoder
+latent (reference src/model/encoder.py:102-108, called per query point from
+src/model/models.py:213). Checkpoint parity depends on its exact semantics:
+bilinear interpolation, ``padding_mode='border'``, ``align_corners=True``.
+
+This module implements those semantics (plus zeros/reflection padding and
+nearest mode for completeness) as pure XLA: four flat gathers + a lerp. XLA
+fuses the address arithmetic and the gathers are differentiable (the
+transpose is a scatter-add into the feature map, which training needs).
+A Pallas VMEM-resident kernel for the inference hot path lives in
+``grid_sample_pallas.py``.
+
+Layout is NHWC (TPU-native), not the reference's NCHW.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _unnormalize(coord: jax.Array, size: int, align_corners: bool) -> jax.Array:
+    """[-1, 1] grid coordinate -> pixel coordinate (torch convention)."""
+    if align_corners:
+        return (coord + 1.0) * 0.5 * (size - 1)
+    return ((coord + 1.0) * size - 1.0) * 0.5
+
+
+def _reflect(coord: jax.Array, low: float, high: float) -> jax.Array:
+    """Reflect coordinate into [low, high] (torch reflection padding)."""
+    span = high - low
+    coord = jnp.abs(coord - low) % (2.0 * span)
+    return low + jnp.minimum(coord, 2.0 * span - coord)
+
+
+def _compute_source_index(
+    coord: jax.Array, size: int, padding_mode: str, align_corners: bool
+) -> jax.Array:
+    x = _unnormalize(coord, size, align_corners)
+    if padding_mode == "border":
+        x = jnp.clip(x, 0.0, size - 1)
+    elif padding_mode == "reflection":
+        if align_corners:
+            x = _reflect(x, 0.0, size - 1)
+        else:
+            x = _reflect(x, -0.5, size - 0.5)
+        x = jnp.clip(x, 0.0, size - 1)
+    elif padding_mode != "zeros":
+        raise ValueError(f"Unknown padding_mode {padding_mode!r}")
+    return x
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "padding_mode", "align_corners"))
+def grid_sample(
+    features: jax.Array,
+    grid: jax.Array,
+    mode: str = "bilinear",
+    padding_mode: str = "border",
+    align_corners: bool = True,
+) -> jax.Array:
+    """Sample ``features`` at normalized grid points.
+
+    :param features: (N, H, W, C) feature maps (NHWC)
+    :param grid: (N, P, 2) sampling locations, (x, y) in [-1, 1]
+    :param mode: 'bilinear' | 'nearest'
+    :return: (N, P, C) sampled features
+    """
+    N, H, W, C = features.shape
+    gx, gy = grid[..., 0], grid[..., 1]
+    ix = _compute_source_index(gx, W, padding_mode, align_corners)
+    iy = _compute_source_index(gy, H, padding_mode, align_corners)
+
+    flat = features.reshape(N, H * W, C)
+
+    def gather(iy_idx: jax.Array, ix_idx: jax.Array) -> jax.Array:
+        """Gather pixels at integer (y, x); zero out-of-bounds if needed."""
+        if padding_mode == "zeros":
+            valid = (
+                (ix_idx >= 0) & (ix_idx <= W - 1) & (iy_idx >= 0) & (iy_idx <= H - 1)
+            )
+        else:
+            valid = None
+        ycl = jnp.clip(iy_idx, 0, H - 1)
+        xcl = jnp.clip(ix_idx, 0, W - 1)
+        idx = (ycl * W + xcl).astype(jnp.int32)
+        vals = jnp.take_along_axis(flat, idx[..., None], axis=1)
+        if valid is not None:
+            vals = jnp.where(valid[..., None], vals, 0.0)
+        return vals
+
+    if mode == "nearest":
+        # torch rounds half away from... uses nearbyint (round half to even)
+        return gather(
+            jnp.round(iy).astype(jnp.int32), jnp.round(ix).astype(jnp.int32)
+        )
+    if mode != "bilinear":
+        raise ValueError(f"Unknown mode {mode!r}")
+
+    ix0 = jnp.floor(ix)
+    iy0 = jnp.floor(iy)
+    wx = (ix - ix0)[..., None]
+    wy = (iy - iy0)[..., None]
+    ix0i = ix0.astype(jnp.int32)
+    iy0i = iy0.astype(jnp.int32)
+
+    v00 = gather(iy0i, ix0i)
+    v01 = gather(iy0i, ix0i + 1)
+    v10 = gather(iy0i + 1, ix0i)
+    v11 = gather(iy0i + 1, ix0i + 1)
+
+    top = v00 * (1.0 - wx) + v01 * wx
+    bot = v10 * (1.0 - wx) + v11 * wx
+    return top * (1.0 - wy) + bot * wy

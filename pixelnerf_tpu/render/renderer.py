@@ -1,0 +1,295 @@
+"""Differentiable hierarchical volume renderer (NeRF coarse + fine).
+
+Rebuild of reference src/render/nerf.py as pure functions over a static
+:class:`RenderConfig`. Semantics preserved exactly (they are where PSNR
+parity is won or lost):
+
+- stratified coarse sampling with jittered *left-edge* bins — slightly
+  different from original NeRF, per the reference (nerf.py:98-118)
+- inverse-CDF importance sampling from detached coarse weights
+  (nerf.py:120-148); the searchsorted is a branchless comparison-count,
+  which vectorizes on the VPU
+- gaussian depth-jitter samples clamped to [near, far] (nerf.py:150-161)
+- compositing: ``alpha = 1 - exp(-delta * relu(sigma))``, transmittance via
+  cumprod of shifted ``(1 - alpha + 1e-10)``, ``delta_inf = far - z_K``
+  (not 1e10), optional white background (nerf.py:178-244)
+- fine pass runs over the *sorted union* of coarse + importance + depth
+  samples (nerf.py:284-298)
+
+TPU-first differences: everything has static shapes and lives in one jit
+region; memory is bounded by a ``lax.scan`` over ray microbatches instead of
+a Python chunking loop; multi-device ray sharding lives in
+``pixelnerf_tpu.parallel`` (the DataParallel-dim1 analog, nerf.py:370).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+# query_fn(xyz (SB, B, 3), viewdirs (SB, B, 3) | None, coarse: bool) -> (SB, B, 4)
+QueryFn = Callable[..., jax.Array]
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static renderer configuration (hashable -> usable as a jit static)."""
+
+    n_coarse: int = 128
+    n_fine: int = 0
+    n_fine_depth: int = 0
+    noise_std: float = 0.0
+    depth_std: float = 0.01
+    eval_batch_size: int = 100000
+    white_bkgd: bool = False
+    lindisp: bool = False
+
+    @property
+    def using_fine(self) -> bool:
+        return self.n_fine > 0
+
+    @classmethod
+    def from_conf(
+        cls, conf, white_bkgd: bool = False, lindisp: bool = False,
+        eval_batch_size: int = 100000,
+    ) -> "RenderConfig":
+        return cls(
+            n_coarse=conf.get_int("n_coarse", 128),
+            n_fine=conf.get_int("n_fine", 0),
+            n_fine_depth=conf.get_int("n_fine_depth", 0),
+            noise_std=conf.get_float("noise_std", 0.0),
+            depth_std=conf.get_float("depth_std", 0.01),
+            white_bkgd=bool(conf.get_float("white_bkgd", white_bkgd)),
+            lindisp=lindisp,
+            eval_batch_size=conf.get_int("eval_batch_size", eval_batch_size),
+        )
+
+
+def _z_from_steps(rays: jax.Array, z_steps: jax.Array, lindisp: bool) -> jax.Array:
+    near, far = rays[..., 6:7], rays[..., 7:8]
+    if not lindisp:
+        return near * (1 - z_steps) + far * z_steps
+    return 1.0 / (1.0 / near * (1 - z_steps) + 1.0 / far * z_steps)
+
+
+def sample_coarse(rng: jax.Array, rays: jax.Array, cfg: RenderConfig) -> jax.Array:
+    """Stratified samples: (..., B, 8) rays -> (..., B, Kc) depths."""
+    step = 1.0 / cfg.n_coarse
+    shape = rays.shape[:-1] + (cfg.n_coarse,)
+    z_steps = jnp.linspace(0.0, 1.0 - step, cfg.n_coarse, dtype=rays.dtype)
+    z_steps = z_steps + jax.random.uniform(rng, shape, dtype=rays.dtype) * step
+    return _z_from_steps(rays, z_steps, cfg.lindisp)
+
+
+def sample_fine(
+    rng: jax.Array, rays: jax.Array, weights: jax.Array, cfg: RenderConfig
+) -> jax.Array:
+    """Importance samples from coarse weights: -> (..., B, n_fine - n_fine_depth)."""
+    n_samples = cfg.n_fine - cfg.n_fine_depth
+    weights = jax.lax.stop_gradient(weights) + 1e-5
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # (..., Kc+1)
+
+    r1, r2 = jax.random.split(rng)
+    u_shape = rays.shape[:-1] + (n_samples,)
+    u = jax.random.uniform(r1, u_shape, dtype=rays.dtype)
+    # searchsorted(cdf, u, right) == count of cdf entries <= u; branchless.
+    inds = jnp.sum(
+        (cdf[..., None, :] <= u[..., :, None]).astype(rays.dtype), axis=-1
+    ) - 1.0
+    inds = jnp.maximum(inds, 0.0)
+    z_steps = (inds + jax.random.uniform(r2, u_shape, dtype=rays.dtype)) / cfg.n_coarse
+    return _z_from_steps(rays, z_steps, cfg.lindisp)
+
+
+def sample_fine_depth(
+    rng: jax.Array, rays: jax.Array, depth: jax.Array, cfg: RenderConfig
+) -> jax.Array:
+    """Gaussian jitter around the expected depth: -> (..., B, n_fine_depth)."""
+    shape = depth.shape + (cfg.n_fine_depth,)
+    z = depth[..., None] + jax.random.normal(rng, shape, dtype=rays.dtype) * cfg.depth_std
+    return jnp.clip(z, rays[..., 6:7], rays[..., 7:8])
+
+
+def composite(
+    query_fn: QueryFn,
+    rays: jax.Array,
+    z_samp: jax.Array,
+    coarse: bool,
+    cfg: RenderConfig,
+    rng: Optional[jax.Array] = None,
+    train: bool = False,
+    use_viewdirs: bool = True,
+) -> Dict[str, jax.Array]:
+    """Alpha-composite field queries along rays.
+
+    :param rays: (SB, B, 8)
+    :param z_samp: (SB, B, K)
+    :return: dict(weights (SB, B, K), rgb (SB, B, 3), depth (SB, B))
+    """
+    SB, B, K = z_samp.shape
+    deltas = z_samp[..., 1:] - z_samp[..., :-1]
+    delta_inf = rays[..., 7:8] - z_samp[..., -1:]
+    deltas = jnp.concatenate([deltas, delta_inf], axis=-1)          # (SB, B, K)
+
+    points = rays[..., None, :3] + z_samp[..., None] * rays[..., None, 3:6]
+    points = points.reshape(SB, B * K, 3)
+    if use_viewdirs:
+        viewdirs = jnp.broadcast_to(rays[..., None, 3:6], (SB, B, K, 3))
+        viewdirs = viewdirs.reshape(SB, B * K, 3)
+        out = query_fn(points, viewdirs, coarse)
+    else:
+        out = query_fn(points, None, coarse)
+    out = out.reshape(SB, B, K, -1)
+
+    rgbs = out[..., :3]
+    sigmas = out[..., 3]
+    if train and cfg.noise_std > 0.0 and rng is not None:
+        sigmas = sigmas + jax.random.normal(rng, sigmas.shape) * cfg.noise_std
+
+    alphas = 1.0 - jnp.exp(-deltas * jax.nn.relu(sigmas))           # (SB, B, K)
+    alphas_shifted = jnp.concatenate(
+        [jnp.ones_like(alphas[..., :1]), 1.0 - alphas + 1e-10], axis=-1
+    )
+    T = jnp.cumprod(alphas_shifted, axis=-1)                        # (SB, B, K+1)
+    weights = alphas * T[..., :-1]
+
+    rgb_final = jnp.sum(weights[..., None] * rgbs, axis=-2)         # (SB, B, 3)
+    depth_final = jnp.sum(weights * z_samp, axis=-1)                # (SB, B)
+    if cfg.white_bkgd:
+        pix_alpha = jnp.sum(weights, axis=-1)
+        rgb_final = rgb_final + (1.0 - pix_alpha[..., None])
+    return {"weights": weights, "rgb": rgb_final, "depth": depth_final}
+
+
+def render_rays(
+    query_fn: QueryFn,
+    rays: jax.Array,
+    rng: jax.Array,
+    cfg: RenderConfig,
+    train: bool = False,
+    want_weights: bool = False,
+    use_viewdirs: bool = True,
+) -> Dict[str, Dict[str, jax.Array]]:
+    """Full hierarchical render of a ray batch (reference nerf.py:251-303).
+
+    :param rays: (SB, B, 8) [origin, dir, near, far]
+    :return: {'coarse': {rgb, depth[, weights]}[, 'fine': {...}]}
+    """
+    assert rays.ndim == 3 and rays.shape[-1] == 8
+    k_coarse, k_fine, k_depth, k_noise_c, k_noise_f = jax.random.split(rng, 5)
+
+    z_coarse = sample_coarse(k_coarse, rays, cfg)                   # (SB, B, Kc)
+    coarse_out = composite(
+        query_fn, rays, z_coarse, True, cfg, k_noise_c, train, use_viewdirs
+    )
+    outputs = {"coarse": _format(coarse_out, want_weights)}
+
+    if cfg.using_fine:
+        all_samps = [z_coarse]
+        if cfg.n_fine - cfg.n_fine_depth > 0:
+            all_samps.append(sample_fine(k_fine, rays, coarse_out["weights"], cfg))
+        if cfg.n_fine_depth > 0:
+            all_samps.append(
+                sample_fine_depth(
+                    k_depth, rays, jax.lax.stop_gradient(coarse_out["depth"]), cfg
+                )
+            )
+        z_combine = jnp.sort(jnp.concatenate(all_samps, axis=-1), axis=-1)
+        fine_out = composite(
+            query_fn, rays, z_combine, False, cfg, k_noise_f, train, use_viewdirs
+        )
+        outputs["fine"] = _format(fine_out, want_weights)
+    return outputs
+
+
+def _format(out: Dict[str, jax.Array], want_weights: bool) -> Dict[str, jax.Array]:
+    ret = {"rgb": out["rgb"], "depth": out["depth"]}
+    if want_weights:
+        ret["weights"] = out["weights"]
+    return ret
+
+
+def render_rays_chunked(
+    query_fn: QueryFn,
+    rays: jax.Array,
+    rng: jax.Array,
+    cfg: RenderConfig,
+    ray_chunk: int,
+    train: bool = False,
+    want_weights: bool = False,
+    use_viewdirs: bool = True,
+) -> Dict[str, Dict[str, jax.Array]]:
+    """Memory-bounded render: ``lax.scan`` over fixed-size ray microbatches.
+
+    Replaces the reference's Python chunking loop (nerf.py:195-216) with a
+    compiled scan; B must be divisible by ray_chunk (callers pad).
+    """
+    SB, B, _ = rays.shape
+    assert B % ray_chunk == 0, f"B={B} not divisible by ray_chunk={ray_chunk}"
+    n_chunks = B // ray_chunk
+    rays_chunks = rays.reshape(SB, n_chunks, ray_chunk, 8).transpose(1, 0, 2, 3)
+    keys = jax.random.split(rng, n_chunks)
+
+    def body(_, inputs):
+        chunk_rays, key = inputs
+        out = render_rays(
+            query_fn, chunk_rays, key, cfg, train, want_weights, use_viewdirs
+        )
+        return None, out
+
+    _, outs = jax.lax.scan(body, None, (rays_chunks, keys))
+    # outs leaves have shape (n_chunks, SB, chunk, ...) -> (SB, B, ...)
+    def merge(x):
+        x = jnp.moveaxis(x, 0, 1)                                   # (SB, n_chunks, chunk, ...)
+        return x.reshape((SB, B) + x.shape[3:])
+
+    return jax.tree_util.tree_map(merge, outs)
+
+
+class NeRFRenderer:
+    """Convenience object API mirroring the reference's NeRFRenderer
+    (from_conf / bind semantics), wrapping the functional renderer."""
+
+    def __init__(self, cfg: RenderConfig):
+        self.cfg = cfg
+
+    @classmethod
+    def from_conf(cls, conf, white_bkgd=False, lindisp=False, eval_batch_size=100000):
+        return cls(RenderConfig.from_conf(conf, white_bkgd, lindisp, eval_batch_size))
+
+    def __call__(self, query_fn, rays, rng, train=False, want_weights=False,
+                 use_viewdirs=True, ray_chunk: Optional[int] = None):
+        if ray_chunk is None or rays.shape[1] <= ray_chunk:
+            return render_rays(
+                query_fn, rays, rng, self.cfg, train, want_weights, use_viewdirs
+            )
+        return render_rays_chunked(
+            query_fn, rays, rng, self.cfg, ray_chunk, train, want_weights, use_viewdirs
+        )
+
+    def bind(self, net, variables, enc, simple_output: bool = False):
+        """Bind a PixelNeRF net + SceneEncoding into a rays->render callable
+        (the reference's bind_parallel without the DataParallel; sharding is
+        applied by pixelnerf_tpu.parallel around the jitted callable)."""
+
+        def query_fn(xyz, viewdirs, coarse):
+            return net.apply(
+                variables, enc, xyz, viewdirs=viewdirs, coarse=coarse,
+                method=net.query,
+            )
+
+        def render(rays, rng, train=False, want_weights=False, ray_chunk=None):
+            out = self(
+                query_fn, rays, rng, train=train, want_weights=want_weights,
+                use_viewdirs=net.use_viewdirs, ray_chunk=ray_chunk,
+            )
+            if simple_output:
+                branch = out["fine"] if self.cfg.using_fine else out["coarse"]
+                return branch["rgb"], branch["depth"]
+            return out
+
+        return render
