@@ -33,31 +33,26 @@ def max_pool_3x3_s2(x: jax.Array) -> jax.Array:
     )
 
 
-class _ConvBN(nn.Module):
-    features: int
-    kernel: int
-    stride: int = 1
-    conv_name: str = "conv"
-    bn_name: str = "bn"
+def _conv(features: int, kernel: int, stride: int, name: str) -> nn.Conv:
+    """torch-style Conv2d(kernel, stride, padding=kernel//2, bias=False)."""
+    pad = kernel // 2
+    return nn.Conv(
+        features,
+        (kernel, kernel),
+        strides=(stride, stride),
+        padding=((pad, pad), (pad, pad)),
+        use_bias=False,
+        name=name,
+    )
 
-    @nn.compact
-    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
-        pad = self.kernel // 2
-        x = nn.Conv(
-            self.features,
-            (self.kernel, self.kernel),
-            strides=(self.stride, self.stride),
-            padding=((pad, pad), (pad, pad)),
-            use_bias=False,
-            name=self.conv_name,
-        )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=BN_MOMENTUM,
-            epsilon=BN_EPS,
-            name=self.bn_name,
-        )(x)
-        return x
+
+def _bn(train: bool, name: str) -> nn.BatchNorm:
+    return nn.BatchNorm(
+        use_running_average=not train,
+        momentum=BN_MOMENTUM,
+        epsilon=BN_EPS,
+        name=name,
+    )
 
 
 class BasicBlock(nn.Module):
@@ -70,13 +65,14 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         identity = x
-        y = _ConvBN(self.features, 3, self.stride, "conv1", "bn1")(x, train)
+        y = _conv(self.features, 3, self.stride, "conv1")(x)
+        y = _bn(train, "bn1")(y)
         y = nn.relu(y)
-        y = _ConvBN(self.features, 3, 1, "conv2", "bn2")(y, train)
+        y = _conv(self.features, 3, 1, "conv2")(y)
+        y = _bn(train, "bn2")(y)
         if self.use_projection:
-            identity = _ConvBN(
-                self.features, 1, self.stride, "downsample_conv", "downsample_bn"
-            )(x, train)
+            identity = _conv(self.features, 1, self.stride, "downsample_conv")(x)
+            identity = _bn(train, "downsample_bn")(identity)
         return nn.relu(y + identity)
 
 
@@ -117,7 +113,8 @@ class ResNetFeatures(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> Sequence[jax.Array]:
         sizes = STAGE_SIZES[self.backbone]
-        x = _ConvBN(64, 7, 2, "conv1", "bn1")(x, train)
+        x = _conv(64, 7, 2, "conv1")(x)
+        x = _bn(train, "bn1")(x)
         x = nn.relu(x)
         latents = [x]
         if self.num_layers > 1:
@@ -146,7 +143,8 @@ class ResNetTrunk(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         sizes = STAGE_SIZES[self.backbone]
-        x = _ConvBN(64, 7, 2, "conv1", "bn1")(x, train)
+        x = _conv(64, 7, 2, "conv1")(x)
+        x = _bn(train, "bn1")(x)
         x = nn.relu(x)
         x = max_pool_3x3_s2(x)
         for i, (feat, n) in enumerate(zip(STAGE_FEATURES, sizes)):

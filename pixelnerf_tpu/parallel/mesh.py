@@ -1,0 +1,89 @@
+"""Device-mesh layer: named shardings over ICI.
+
+This is the first-class replacement for the reference's multi-GPU story —
+``torch.nn.DataParallel(wrapped, gpus, dim=1)`` scattering the ray dimension
+every forward (reference src/render/nerf.py:354-371). Here the mesh is
+persistent, shardings are compiled into the program, and XLA inserts the
+collectives:
+
+- axis ``"data"``: object (super-batch) dimension — the training DP axis;
+  gradient all-reduce rides ICI via jit's automatic psum.
+- axis ``"ray"``: per-object ray dimension — the DataParallel-dim1 analog;
+  rendering along it is communication-free.
+
+Params and small intrinsics replicate; feature latents shard over "data"
+only (each ray shard needs its object's full feature map).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+RAY_AXIS = "ray"
+
+
+def make_mesh(
+    data: Optional[int] = None,
+    ray: Optional[int] = None,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Create a (data, ray) mesh over the given devices.
+
+    Defaults: all devices on the ray axis (pure ray sharding, the eval
+    layout). ``make_mesh(data=N)`` puts N-way object parallelism first and
+    the rest on rays.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data is None and ray is None:
+        data, ray = 1, n
+    elif data is None:
+        data = n // ray
+    elif ray is None:
+        ray = n // data
+    assert data * ray == n, f"mesh {data}x{ray} != {n} devices"
+    dev_array = np.asarray(devices).reshape(data, ray)
+    return Mesh(dev_array, (DATA_AXIS, RAY_AXIS))
+
+
+def ray_sharding(mesh: Mesh) -> NamedSharding:
+    """(SB, B, ...) rays: B sharded over every mesh axis (eval layout)."""
+    return NamedSharding(mesh, P(None, (DATA_AXIS, RAY_AXIS)))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """(SB, B, ...) training batch: SB over data, B over ray."""
+    return NamedSharding(mesh, P(DATA_AXIS, RAY_AXIS))
+
+
+def object_sharding(mesh: Mesh) -> NamedSharding:
+    """(SB, ...) per-object arrays (images, poses): SB over data."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, tree):
+    """Place a host batch onto the mesh: leading axis = objects over 'data',
+    second axis (if present, size-divisible) = rays over 'ray'."""
+    def place(x):
+        x = np.asarray(x)
+        if (
+            x.ndim >= 2
+            and x.shape[0] % mesh.shape[DATA_AXIS] == 0
+            and x.shape[1] % mesh.shape[RAY_AXIS] == 0
+        ):
+            spec = P(DATA_AXIS, RAY_AXIS)
+        elif x.ndim >= 1 and x.shape[0] % mesh.shape[DATA_AXIS] == 0:
+            spec = P(DATA_AXIS)
+        else:
+            spec = P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(place, tree)

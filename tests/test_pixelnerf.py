@@ -1,0 +1,123 @@
+"""Full PixelNeRF query math vs independent referee (default_mv flags)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pixelnerf_tpu.config import load_config
+from pixelnerf_tpu.models import make_model
+from pixelnerf_tpu.models.pixelnerf import SceneEncoding
+from pixelnerf_tpu.utils import geometry
+from torch_ref import referee_query
+
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _tiny_model():
+    conf = load_config(os.path.join(REPO, "conf", "exp", "sn64.conf"))
+    # shrink the MLP for test speed; keep the full flag set
+    conf["model"]["mlp_coarse"]["d_hidden"] = 64
+    conf["model"]["mlp_fine"]["d_hidden"] = 64
+    conf["model"]["encoder"]["num_layers"] = 2
+    return make_model(conf["model"])
+
+
+def _setup(SB=2, NS=2, H=32, W=32, B=11, seed=0):
+    net = _tiny_model()
+    rng = np.random.default_rng(seed)
+    images = rng.uniform(-1, 1, (SB, NS, H, W, 3)).astype(np.float32)
+    poses = np.stack(
+        [
+            np.stack(
+                [
+                    geometry.look_at(rng.normal(size=3) * 2 + np.array([0, 0, 2.5]),
+                                     np.zeros(3))
+                    for _ in range(NS)
+                ]
+            )
+            for _ in range(SB)
+        ]
+    ).astype(np.float32)
+    focal = np.float32(40.0)
+    xyz = rng.normal(size=(SB, B, 3)).astype(np.float32) * 0.3
+    viewdirs = rng.normal(size=(SB, B, 3)).astype(np.float32)
+    viewdirs /= np.linalg.norm(viewdirs, axis=-1, keepdims=True)
+    variables = net.init(
+        jax.random.PRNGKey(seed), jnp.asarray(images), jnp.asarray(poses),
+        jnp.asarray(focal), jnp.asarray(xyz), jnp.asarray(viewdirs),
+    )
+    return net, variables, images, poses, focal, xyz, viewdirs
+
+
+def test_query_matches_referee():
+    net, variables, images, poses, focal, xyz, viewdirs = _setup()
+    enc = net.apply(
+        variables, jnp.asarray(images), jnp.asarray(poses), jnp.asarray(focal),
+        method=net.encode,
+    )
+    for coarse, name in [(True, "mlp_coarse"), (False, "mlp_fine")]:
+        ours = np.asarray(
+            net.apply(
+                variables, enc, jnp.asarray(xyz), viewdirs=jnp.asarray(viewdirs),
+                coarse=coarse, method=net.query,
+            )
+        )
+        ref = referee_query(variables, enc, xyz, viewdirs, name)
+        np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_encode_focal_and_poses():
+    net, variables, images, poses, focal, xyz, viewdirs = _setup(SB=1, NS=1)
+    enc = net.apply(
+        variables, jnp.asarray(images), jnp.asarray(poses), jnp.asarray(focal),
+        method=net.encode,
+    )
+    # fy negated (reference models.py:130)
+    np.testing.assert_allclose(np.asarray(enc.focal), [[40.0, -40.0]])
+    # principal point defaults to image center
+    np.testing.assert_allclose(np.asarray(enc.c), [[16.0, 16.0]])
+    # stored pose is world->camera of the input camera-to-world
+    w2c = np.asarray(geometry.invert_pose(poses.reshape(-1, 4, 4)))
+    np.testing.assert_allclose(np.asarray(enc.poses), w2c, atol=1e-6)
+
+
+def test_single_view_equals_duplicated_views():
+    """Average-fusion over two identical source views == single view."""
+    net, variables, images, poses, focal, xyz, viewdirs = _setup(SB=1, NS=2)
+    images[:, 1] = images[:, 0]
+    poses[:, 1] = poses[:, 0]
+    enc2 = net.apply(
+        variables, jnp.asarray(images), jnp.asarray(poses), jnp.asarray(focal),
+        method=net.encode,
+    )
+    enc1 = net.apply(
+        variables, jnp.asarray(images[:, :1]), jnp.asarray(poses[:, :1]),
+        jnp.asarray(focal), method=net.encode,
+    )
+    out2 = net.apply(
+        variables, enc2, jnp.asarray(xyz), viewdirs=jnp.asarray(viewdirs),
+        method=net.query,
+    )
+    out1 = net.apply(
+        variables, enc1, jnp.asarray(xyz), viewdirs=jnp.asarray(viewdirs),
+        method=net.query,
+    )
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(out1), atol=1e-5)
+
+
+def test_output_ranges():
+    net, variables, images, poses, focal, xyz, viewdirs = _setup(SB=1, NS=1, B=64)
+    enc = net.apply(
+        variables, jnp.asarray(images), jnp.asarray(poses), jnp.asarray(focal),
+        method=net.encode,
+    )
+    out = np.asarray(
+        net.apply(
+            variables, enc, jnp.asarray(xyz), viewdirs=jnp.asarray(viewdirs),
+            method=net.query,
+        )
+    )
+    assert out.shape == (1, 64, 4)
+    assert out[..., :3].min() >= 0.0 and out[..., :3].max() <= 1.0
+    assert out[..., 3].min() >= 0.0
