@@ -1,0 +1,96 @@
+"""Render-throughput benchmark (the driver runs this on real TPU hardware).
+
+Measures full conditional-NeRF rendering — encode once, then hierarchical
+render (64 coarse + 32 fine samples/ray, the reference's shipped config) —
+and reports rays/sec/chip against the BASELINE.json target of 1e7.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+BASELINE_RAYS_PER_SEC = 1.0e7
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from pixelnerf_tpu.config import load_config
+    from pixelnerf_tpu.models import make_model
+    from pixelnerf_tpu.render.renderer import RenderConfig, render_rays_chunked
+    from pixelnerf_tpu.utils import geometry
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    conf = load_config(os.path.join(root, "conf", "exp", "srn.conf"))
+    net = make_model(conf["model"])
+    cfg = RenderConfig(n_coarse=64, n_fine=32, n_fine_depth=16, white_bkgd=True)
+
+    # SRN-car geometry: 128x128 source image, 1 source view
+    SB, NS, H, W = 1, 1, 128, 128
+    n_rays = int(os.environ.get("BENCH_RAYS", 65536))
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.uniform(-1, 1, (SB, NS, H, W, 3)).astype(np.float32))
+    pose = geometry.look_at(np.array([0, 0, 1.3], np.float32), np.zeros(3))
+    poses = jnp.asarray(pose[None, None])
+    focal = jnp.asarray(np.float32(131.25))
+
+    variables = net.init(
+        jax.random.PRNGKey(0), images, poses, focal,
+        jnp.zeros((SB, 8, 3)), jnp.ones((SB, 8, 3)),
+    )
+    enc = net.apply(variables, images, poses, focal, method=net.encode)
+
+    cam_rays = np.asarray(
+        geometry.gen_rays(poses[:, 0], W, H, focal, 0.8, 1.8)
+    ).reshape(1, -1, 8)
+    reps = max(1, n_rays // cam_rays.shape[1])
+    rays = jnp.asarray(np.tile(cam_rays, (1, reps, 1))[:, :n_rays])
+
+    ray_chunk = int(os.environ.get("BENCH_CHUNK", 4096))
+
+    @jax.jit
+    def render(variables, enc, rays, key):
+        def query_fn(xyz, viewdirs, coarse):
+            return net.apply(
+                variables, enc, xyz, viewdirs=viewdirs, coarse=coarse,
+                method=net.query,
+            )
+
+        out = render_rays_chunked(
+            query_fn, rays, key, cfg, ray_chunk=ray_chunk, use_viewdirs=True
+        )
+        return out["fine"]["rgb"], out["fine"]["depth"]
+
+    key = jax.random.PRNGKey(1)
+    out = render(variables, enc, rays, key)
+    jax.block_until_ready(out)  # compile
+
+    n_iters = int(os.environ.get("BENCH_ITERS", 10))
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        out = render(variables, enc, rays, jax.random.fold_in(key, i))
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    rays_per_sec = n_rays * n_iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "render_rays_per_sec_per_chip",
+                "value": round(rays_per_sec, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,208 @@
+"""Full evaluation sweep (reference eval/eval.py).
+
+Per test object: encode fixed (-P) or viewlist (-L) source views, render every
+other view, write PNGs, accumulate PSNR/SSIM, and append to an append-only
+``finish.txt`` so interrupted multi-hour sweeps resume where they stopped
+(reference eval.py:112-131). Rays are sharded over the device mesh.
+
+    python -m pixelnerf_tpu.apps.eval -n srn_car -D <data>/cars -P "64" -O eval_out
+"""
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ConfigNode
+from ..data import get_split_dataset
+from ..eval.common import FullRenderer
+from ..models import make_model
+from ..parallel.mesh import make_mesh
+from ..render.renderer import RenderConfig
+from ..train.state import TrainState, load_checkpoint
+from ..utils import geometry, metrics
+from .args import parse_args
+
+
+def extra_args(parser):
+    parser.add_argument("--split", type=str, default="test")
+    parser.add_argument("--source", "-P", type=str, default="64",
+                        help="space-separated source view ids")
+    parser.add_argument("--viewlist", "-L", type=str, default="",
+                        help="path to per-object source-view list file")
+    parser.add_argument("--include_src", action="store_true")
+    parser.add_argument("--multicat", action="store_true")
+    parser.add_argument("--output", "-O", type=str, default="eval_out")
+    parser.add_argument("--write_depth", action="store_true")
+    parser.add_argument("--limit", type=int, default=None,
+                        help="evaluate at most N objects (smoke runs)")
+    parser.add_argument("--no_mesh", action="store_true")
+    parser.add_argument("--seed", type=int, default=0)
+
+
+def load_net_and_state(args, conf, sample_batch_fn):
+    """Build model and restore from our checkpoint or a reference torch one."""
+    net = make_model(conf["model"])
+    variables = sample_batch_fn(net)
+    ckpt_dir = os.path.join(args.checkpoints_path, args.name)
+    torch_path = os.path.join(ckpt_dir, "pixel_nerf_latest")
+    state = TrainState(
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=(), step=jnp.zeros((), jnp.int32),
+    )
+    restored = load_checkpoint(ckpt_dir, state)
+    if restored is not None:
+        print(f"Loaded checkpoint at step {int(restored.step)} from {ckpt_dir}")
+        return net, restored.variables
+    if os.path.exists(torch_path):
+        from ..models.torch_import import load_torch_checkpoint
+
+        print(f"Loaded reference torch checkpoint {torch_path}")
+        loaded = load_torch_checkpoint(torch_path)
+        variables = {**variables, **loaded}
+        return net, variables
+    print("WARNING: no checkpoint found; evaluating a random-init model")
+    return net, variables
+
+
+def main(argv=None):
+    args, conf = parse_args(extra_args, argv=argv)
+    dset = get_split_dataset(
+        args.dataset_format, args.datadir, want_split=args.split, training=False
+    )
+    cfg = RenderConfig.from_conf(
+        conf.get_config("renderer", ConfigNode()),
+        lindisp=getattr(dset, "lindisp", False),
+        eval_batch_size=args.ray_batch_size,
+    )
+
+    source = np.array([int(x) for x in args.source.split()])
+    viewlist = {}
+    if args.viewlist:
+        with open(args.viewlist, "r") as f:
+            for line in f:
+                parts = line.strip().split()
+                if len(parts) >= 3:
+                    viewlist[(parts[0], parts[1])] = [int(x) for x in parts[2:]]
+
+    d0 = dset[0]
+    H, W = d0["images"].shape[1:3]
+
+    def init_fn(net):
+        NS = len(source)
+        return net.init(
+            jax.random.PRNGKey(0),
+            jnp.asarray(d0["images"][None, :NS]), jnp.asarray(d0["poses"][None, :NS]),
+            jnp.asarray(d0["focal"]), jnp.zeros((1, 8, 3)), jnp.ones((1, 8, 3)),
+        )
+
+    net, variables = load_net_and_state(args, conf, init_fn)
+
+    mesh = None
+    if not args.no_mesh and jax.device_count() > 1:
+        mesh = make_mesh()
+    renderer = FullRenderer(net, cfg, mesh=mesh, ray_chunk=args.ray_batch_size)
+
+    os.makedirs(args.output, exist_ok=True)
+    finish_path = os.path.join(args.output, "finish.txt")
+    finished = {}
+    if os.path.exists(finish_path):
+        with open(finish_path, "r") as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) == 4:
+                    finished[parts[0]] = (float(parts[1]), float(parts[2]), int(parts[3]))
+    finish_file = open(finish_path, "a", buffering=1)
+
+    total_psnr = sum(v[0] * v[2] for v in finished.values())
+    total_ssim = sum(v[1] * v[2] for v in finished.values())
+    cnt = sum(v[2] for v in finished.values())
+
+    import imageio.v2 as imageio
+
+    rng = jax.random.PRNGKey(args.seed)
+    n_objs = len(dset) if args.limit is None else min(args.limit, len(dset))
+    for obj_idx in range(n_objs):
+        data = dset[obj_idx]
+        if not data:
+            continue
+        if args.multicat:
+            cat = os.path.basename(os.path.dirname(data["path"]))
+            obj_name = f"{cat}_{os.path.basename(data['path'])}"
+        else:
+            obj_name = os.path.basename(data["path"])
+        if obj_name in finished:
+            continue
+
+        NV = data["images"].shape[0]
+        key = (
+            os.path.basename(os.path.dirname(data["path"])),
+            os.path.basename(data["path"]),
+        )
+        src = np.array(viewlist[key]) if key in viewlist else source
+        src = src[src < NV]
+        target_views = (
+            np.arange(NV)
+            if args.include_src
+            else np.array([v for v in range(NV) if v not in set(src.tolist())])
+        )
+
+        c_arr = data.get("c", np.array([W / 2.0, H / 2.0], np.float32))
+        enc = net.apply(
+            variables,
+            jnp.asarray(data["images"][None, src]),
+            jnp.asarray(data["poses"][None, src]),
+            jnp.asarray(data["focal"]),
+            c=jnp.asarray(c_arr[None]),
+            method=net.encode,
+        )
+        all_rays = np.asarray(
+            geometry.gen_rays(
+                jnp.asarray(data["poses"][target_views]), W, H,
+                jnp.asarray(data["focal"]), dset.z_near, dset.z_far,
+                c=jnp.asarray(c_arr),
+            )
+        ).reshape(-1, 8)
+        rng, kk = jax.random.split(rng)
+        out = renderer(variables, enc, all_rays, kk)
+        branch = out["fine"] if cfg.using_fine else out["coarse"]
+        rgb_all = branch["rgb"].reshape(len(target_views), H, W, 3)
+        depth_all = branch["depth"].reshape(len(target_views), H, W)
+
+        obj_dir = os.path.join(args.output, obj_name)
+        os.makedirs(obj_dir, exist_ok=True)
+        obj_psnr = obj_ssim = 0.0
+        for ti, view in enumerate(target_views):
+            pred = np.clip(rgb_all[ti], 0, 1)
+            gt = data["images"][view] * 0.5 + 0.5
+            p = metrics.psnr(pred, gt)
+            s = metrics.ssim(pred, gt, data_range=1.0)
+            obj_psnr += p
+            obj_ssim += s
+            imageio.imwrite(
+                os.path.join(obj_dir, f"{view:06d}.png"),
+                (pred * 255).astype(np.uint8),
+            )
+            if args.write_depth:
+                np.save(os.path.join(obj_dir, f"{view:06d}_depth.npy"), depth_all[ti])
+        n = len(target_views)
+        obj_psnr /= n
+        obj_ssim /= n
+        total_psnr += obj_psnr * n
+        total_ssim += obj_ssim * n
+        cnt += n
+        print(
+            f"[{obj_idx+1}/{n_objs}] {obj_name} psnr {obj_psnr:.3f} ssim {obj_ssim:.4f}"
+            f" | running psnr {total_psnr/cnt:.3f} ssim {total_ssim/cnt:.4f}"
+        )
+        finish_file.write(f"{obj_name} {obj_psnr} {obj_ssim} {n}\n")
+    finish_file.close()
+    if cnt:
+        print(f"FINAL psnr {total_psnr/cnt:.4f} ssim {total_ssim/cnt:.4f} over {cnt} views")
+
+
+if __name__ == "__main__":
+    main()

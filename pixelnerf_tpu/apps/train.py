@@ -1,0 +1,170 @@
+"""Training CLI (reference train/train.py).
+
+    python -m pixelnerf_tpu.apps.train -n srn_car -c conf/exp/srn.conf \
+        -D <data>/cars -V 1 --epochs 100
+
+Supports the synthetic fixture dataset out of the box:
+
+    python -m pixelnerf_tpu.apps.train -n demo -c conf/exp/sn64.conf \
+        -F synthetic --epochs 2 --epoch_batches 50
+"""
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ConfigNode
+from ..data import RayBatchPipeline, get_split_dataset
+from ..eval.common import FullRenderer, depth_cmap
+from ..models import make_model
+from ..parallel.mesh import make_mesh
+from ..render.renderer import RenderConfig
+from ..train.trainer import Trainer
+from ..utils import geometry, metrics
+from .args import parse_args
+
+
+def extra_args(parser):
+    parser.add_argument("--batch_size", "-B", type=int, default=4)
+    parser.add_argument("--nviews", "-V", type=str, default="1",
+                        help="source view counts, e.g. '1' or '1 2'")
+    parser.add_argument("--freeze_enc", action="store_true")
+    parser.add_argument("--no_bbox_step", type=int, default=100000)
+    parser.add_argument("--fixed_test", action="store_true")
+    parser.add_argument("--lr", type=float, default=1e-4)
+    parser.add_argument("--gamma", type=float, default=1.0)
+    parser.add_argument("--epoch_batches", type=int, default=1000)
+    parser.add_argument("--no_mesh", action="store_true",
+                        help="disable device-mesh sharding (single chip)")
+    parser.add_argument("--seed", type=int, default=0)
+
+
+def main(argv=None):
+    args, conf = parse_args(
+        extra_args, training=True, default_ray_batch_size=128, argv=argv
+    )
+    views = tuple(int(v) for v in args.nviews.split())
+
+    dset_kwargs = {}
+    train_dset = get_split_dataset(
+        args.dataset_format, args.datadir, want_split="train", **dset_kwargs
+    )
+    try:
+        test_dset = get_split_dataset(
+            args.dataset_format, args.datadir, want_split="val",
+            training=False, **dset_kwargs
+        )
+    except Exception:
+        test_dset = None
+
+    net = make_model(conf["model"], stop_encoder_grad=args.freeze_enc)
+    render_cfg = RenderConfig.from_conf(
+        conf.get_config("renderer", ConfigNode()),
+        lindisp=getattr(train_dset, "lindisp", False),
+        eval_batch_size=args.ray_batch_size,
+    )
+
+    train_pipe = RayBatchPipeline(
+        train_dset,
+        batch_size=args.batch_size,
+        rays_per_object=args.ray_batch_size,
+        views=views,
+        no_bbox_step=args.no_bbox_step,
+        seed=args.seed,
+    )
+    test_pipe = (
+        RayBatchPipeline(
+            test_dset,
+            batch_size=args.batch_size,
+            rays_per_object=args.ray_batch_size,
+            views=views,
+            no_bbox_step=args.no_bbox_step,
+            seed=args.seed + 1,
+        )
+        if test_dset is not None and len(test_dset) > 0
+        else None
+    )
+
+    mesh = None
+    if not args.no_mesh and jax.device_count() > 1:
+        mesh = make_mesh(data=args.mesh_data, ray=args.mesh_ray)
+        print("Device mesh:", dict(mesh.shape))
+
+    # init from one pipeline batch
+    batch0 = next(iter(RayBatchPipeline(
+        train_dset, batch_size=args.batch_size,
+        rays_per_object=args.ray_batch_size, views=views[:1], seed=args.seed,
+    )))
+    variables = net.init(
+        jax.random.PRNGKey(args.seed),
+        jnp.asarray(batch0["images"]), jnp.asarray(batch0["poses"]),
+        jnp.asarray(batch0["focal"]),
+        jnp.zeros((args.batch_size, 8, 3)), jnp.ones((args.batch_size, 8, 3)),
+        c=jnp.asarray(batch0["c"]),
+    )
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(variables["params"]))
+    print(f"Model parameters: {n_params/1e6:.2f}M; d_in={net.d_in} d_latent={net.d_latent}")
+
+    vis_renderer = FullRenderer(net, render_cfg, mesh=mesh, ray_chunk=args.ray_batch_size * 64)
+    vis_dset = test_dset if test_dset is not None and len(test_dset) > 0 else train_dset
+
+    def vis_step(state, rng, epoch, batch_idx):
+        """Render one full novel view: [src | gt | depth | rgb] (reference
+        train.py:229-340)."""
+        d = vis_dset[int(np.random.default_rng(epoch * 1000 + batch_idx).integers(len(vis_dset)))]
+        if not d:
+            return None, {}
+        NV = d["images"].shape[0]
+        src = list(range(min(views[-1], NV - 1)))
+        target = NV - 1
+        H, W = d["images"].shape[1:3]
+        variables = state.variables
+        enc = net.apply(
+            variables, jnp.asarray(d["images"][None, src]),
+            jnp.asarray(d["poses"][None, src]), jnp.asarray(d["focal"]),
+            c=jnp.asarray(d.get("c", np.array([W / 2, H / 2], np.float32))[None]),
+            method=net.encode,
+        )
+        rays = np.asarray(geometry.gen_rays(
+            jnp.asarray(d["poses"][target:target + 1]), W, H,
+            jnp.asarray(d["focal"]), vis_dset.z_near, vis_dset.z_far,
+            c=jnp.asarray(d.get("c")) if "c" in d else None,
+        ))[0]
+        rgb, depth = vis_renderer.render_image(variables, enc, rays, rng)
+        gt = d["images"][target] * 0.5 + 0.5
+        psnr = metrics.psnr(rgb, gt)
+        src_img = d["images"][src[0]] * 0.5 + 0.5
+        vis = np.concatenate(
+            [src_img, gt, depth_cmap(depth, vis_dset.z_near, vis_dset.z_far), rgb],
+            axis=1,
+        )
+        print(f"*** vis psnr {psnr:.2f}")
+        return vis, {"psnr": psnr}
+
+    trainer = Trainer(
+        net=net,
+        variables=variables,
+        train_pipeline=train_pipe,
+        test_pipeline=test_pipe,
+        render_cfg=render_cfg,
+        conf=conf,
+        name=args.name,
+        out_dir=".",
+        lr=args.lr,
+        gamma=args.gamma,
+        mesh=mesh,
+        num_epochs=args.epochs,
+        epoch_batches=args.epoch_batches,
+        train_encoder=not args.freeze_enc,
+        resume=args.resume,
+        vis_fn=vis_step,
+        seed=args.seed,
+    )
+    trainer.start()
+
+
+if __name__ == "__main__":
+    main()

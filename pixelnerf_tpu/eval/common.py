@@ -1,0 +1,113 @@
+"""Shared evaluation machinery: full-frame chunked rendering.
+
+The eval apps render NV*H*W rays per object in fixed-size chunks
+(reference eval/eval.py:264-281, gen_video.py:211-218). Here each chunk is
+one jitted call with a static shape (compiled once), optionally sharded over
+the device mesh; rays are padded to the chunk size so every call hits the
+compile cache.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..render.renderer import RenderConfig, render_rays
+
+
+class FullRenderer:
+    """Render an arbitrary number of rays through fixed-shape jitted chunks."""
+
+    def __init__(
+        self,
+        net,
+        cfg: RenderConfig,
+        mesh=None,
+        ray_chunk: int = 50000,
+        want_weights: bool = False,
+    ):
+        self.net = net
+        self.cfg = cfg
+        self.mesh = mesh
+        self.ray_chunk = int(ray_chunk)
+        self.want_weights = want_weights
+
+        def _render(variables, enc, rays, rng):
+            def query_fn(xyz, viewdirs, coarse):
+                return net.apply(
+                    variables, enc, xyz, viewdirs=viewdirs, coarse=coarse,
+                    method=net.query,
+                )
+
+            return render_rays(
+                query_fn, rays, rng, cfg,
+                want_weights=want_weights, use_viewdirs=net.use_viewdirs,
+            )
+
+        if mesh is None:
+            self._render = jax.jit(_render)
+            self._place = lambda rays: rays
+        else:
+            from ..parallel.mesh import ray_sharding, replicate
+
+            rep = replicate(mesh)
+            self._render = jax.jit(
+                _render,
+                in_shardings=(rep, rep, ray_sharding(mesh), rep),
+                out_shardings=rep,
+            )
+            sharding = ray_sharding(mesh)
+            self._place = lambda rays: jax.device_put(rays, sharding)
+
+    def __call__(self, variables, enc, rays, rng) -> dict:
+        """:param rays: (NR, 8) host or device array
+        :return: dict of numpy arrays {'coarse': {'rgb': (NR, 3), ...}, ...}"""
+        rays = np.asarray(rays, np.float32)
+        NR = rays.shape[0]
+        chunk = self.ray_chunk
+        outs = []
+        for start in range(0, NR, chunk):
+            part = rays[start : start + chunk]
+            n = part.shape[0]
+            if n < chunk:
+                part = np.concatenate(
+                    [part, np.repeat(part[-1:], chunk - n, axis=0)], axis=0
+                )
+            rng, key = jax.random.split(rng)
+            out = self._render(variables, enc, self._place(part[None]), key)
+            out = jax.device_get(out)
+            out = jax.tree_util.tree_map(lambda x: x[0, :n], out)
+            outs.append(out)
+        return jax.tree_util.tree_map(
+            lambda *xs: np.concatenate(xs, axis=0), *outs
+        )
+
+    def render_image(
+        self, variables, enc, rays_hw, rng, fine: Optional[bool] = None
+    ):
+        """:param rays_hw: (H, W, 8) -> (rgb (H, W, 3), depth (H, W))"""
+        H, W, _ = rays_hw.shape
+        out = self(variables, enc, rays_hw.reshape(-1, 8), rng)
+        branch = (
+            out["fine"]
+            if (fine if fine is not None else self.cfg.using_fine)
+            else out["coarse"]
+        )
+        return (
+            branch["rgb"].reshape(H, W, 3),
+            branch["depth"].reshape(H, W),
+        )
+
+
+def depth_cmap(depth: np.ndarray, z_near: float = None, z_far: float = None):
+    """Colormapped depth visualization (HOT), float [0,1] rgb."""
+    import cv2
+
+    d = np.asarray(depth, np.float32)
+    vmin = d.min() if z_near is None else z_near
+    vmax = d.max() if z_far is None else z_far
+    norm = np.clip((d - vmin) / max(vmax - vmin, 1e-10), 0.0, 1.0)
+    cm = cv2.applyColorMap((norm * 255).astype(np.uint8), cv2.COLORMAP_HOT)
+    return cm[..., ::-1].astype(np.float32) / 255.0  # BGR -> RGB

@@ -1,0 +1,75 @@
+"""Training losses (reference src/model/loss.py, functional).
+
+- plain RGB MSE/L1 (the only loss active in shipped configs;
+  conf/default.conf loss section)
+- Kendall'17 uncertainty-weighted RGB loss
+- Neural-Volumes alpha regularizer with epoch gating (constructed but
+  disabled in the reference's final configs — lambda 0)
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def rgb_loss(pred: jax.Array, gt: jax.Array, use_l1: bool = False) -> jax.Array:
+    if use_l1:
+        return jnp.mean(jnp.abs(pred - gt))
+    return jnp.mean((pred - gt) ** 2)
+
+
+def rgb_loss_with_uncertainty(
+    pred: jax.Array, gt: jax.Array, betas: jax.Array, use_l1: bool = False
+) -> jax.Array:
+    """Kendall'17: per-ray error / beta + mean log beta."""
+    if use_l1:
+        err = jnp.mean(jnp.abs(pred - gt), axis=-1)
+    else:
+        err = jnp.mean((pred - gt) ** 2, axis=-1)
+    return jnp.mean(err / betas) + jnp.mean(jnp.log(betas))
+
+
+def alpha_loss_nv2(
+    alpha: jax.Array,
+    lambda_alpha: float,
+    clamp_alpha: float,
+    epoch: int,
+    init_epoch: int,
+    force_opaque: bool = False,
+) -> jax.Array:
+    """Neural Volumes opacity prior, active after ``init_epoch``."""
+    if lambda_alpha <= 0.0 or epoch < init_epoch:
+        return jnp.zeros(())
+    a = jnp.clip(alpha, 0.01, 0.99)
+    if force_opaque:
+        bce = -jnp.log(a)  # BCE against all-ones target
+        return lambda_alpha * jnp.mean(bce)
+    reg = jnp.log(a) + jnp.log(1.0 - a)
+    reg = jnp.maximum(reg, -clamp_alpha)
+    return lambda_alpha * jnp.mean(reg)
+
+
+def make_render_loss(conf):
+    """Build the coarse+fine RGB loss from a 'loss' config subtree."""
+    lambda_coarse = conf.get_float("lambda_coarse", 1.0)
+    lambda_fine = conf.get_float("lambda_fine", 1.0)
+    use_l1_coarse = conf.get_config("rgb", None)
+    use_l1_coarse = (
+        use_l1_coarse.get_bool("use_l1", False) if use_l1_coarse else False
+    )
+    fine_conf = conf.get_config("rgb_fine", None)
+    use_l1_fine = fine_conf.get_bool("use_l1", False) if fine_conf else use_l1_coarse
+
+    def loss_fn(outputs, rgb_gt):
+        losses = {}
+        rc = rgb_loss(outputs["coarse"]["rgb"], rgb_gt, use_l1_coarse)
+        loss = lambda_coarse * rc
+        losses["rc"] = rc
+        if "fine" in outputs:
+            rf = rgb_loss(outputs["fine"]["rgb"], rgb_gt, use_l1_fine)
+            loss = loss + lambda_fine * rf
+            losses["rf"] = rf
+        losses["t"] = loss
+        return loss, losses
+
+    return loss_fn

@@ -1,0 +1,129 @@
+"""The compiled training step: encode + render + loss + grad + update,
+sharded over the device mesh.
+
+One jit region replaces the reference's train_step (train/train.py:117-218):
+the CNN encode (which the reference ran un-parallelized on GPU0;
+SURVEY §2.2) is inside the compiled step with the object batch sharded over
+the ``data`` axis, rays additionally sharded over the ``ray`` axis, params
+replicated — XLA inserts the gradient all-reduce (the DataParallel gradient
+path, but compiled and ICI-resident).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..render.renderer import RenderConfig, render_rays
+from .state import TrainState
+
+
+def make_train_step(
+    net,
+    cfg: RenderConfig,
+    optimizer: optax.GradientTransformation,
+    loss_fn,
+    mesh: Optional[Mesh] = None,
+    train_encoder: bool = True,
+):
+    """Build ``step(state, batch, rng) -> (state, metrics)``, jitted.
+
+    batch: images (SB, NS, H, W, 3), poses, focal, c, rays (SB, R, 8),
+    rgb_gt (SB, R, 3). All leading dims static per (SB, NS, R) combination.
+    """
+
+    def loss_and_updates(params, batch_stats, batch, rng):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+
+        mutable = ["batch_stats"] if (batch_stats and train_encoder) else []
+        enc_out = net.apply(
+            variables,
+            batch["images"],
+            batch["poses"],
+            batch["focal"],
+            c=batch.get("c"),
+            train=train_encoder,
+            method=net.encode,
+            mutable=mutable,
+        )
+        if mutable:
+            enc, mutated = enc_out
+            new_stats = mutated["batch_stats"]
+        else:
+            enc, new_stats = enc_out, batch_stats
+
+        def query_fn(xyz, viewdirs, coarse):
+            return net.apply(
+                variables, enc, xyz, viewdirs=viewdirs, coarse=coarse,
+                method=net.query,
+            )
+
+        outputs = render_rays(
+            query_fn, batch["rays"], rng, cfg, train=True,
+            use_viewdirs=net.use_viewdirs,
+        )
+        loss, metrics = loss_fn(outputs, batch["rgb_gt"])
+        return loss, (new_stats, metrics)
+
+    def step(state: TrainState, batch, rng):
+        (_, (new_stats, metrics)), grads = jax.value_and_grad(
+            loss_and_updates, has_aux=True
+        )(state.params, state.batch_stats, batch, rng)
+        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+            step=state.step + 1,
+        )
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+
+    rep = NamedSharding(mesh, P())
+    batch_shardings = {
+        "images": NamedSharding(mesh, P("data")),
+        "poses": NamedSharding(mesh, P("data")),
+        "focal": NamedSharding(mesh, P("data")),
+        "c": NamedSharding(mesh, P("data")),
+        "rays": NamedSharding(mesh, P("data", "ray")),
+        "rgb_gt": NamedSharding(mesh, P("data", "ray")),
+    }
+    return jax.jit(
+        step,
+        in_shardings=(rep, batch_shardings, rep),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,),
+    )
+
+
+def make_eval_step(net, cfg: RenderConfig, loss_fn, mesh: Optional[Mesh] = None):
+    """Loss-only step on a held-out batch (reference eval_step)."""
+
+    def step(variables, batch, rng):
+        enc = net.apply(
+            variables, batch["images"], batch["poses"], batch["focal"],
+            c=batch.get("c"), method=net.encode,
+        )
+
+        def query_fn(xyz, viewdirs, coarse):
+            return net.apply(
+                variables, enc, xyz, viewdirs=viewdirs, coarse=coarse,
+                method=net.query,
+            )
+
+        outputs = render_rays(
+            query_fn, batch["rays"], rng, cfg, use_viewdirs=net.use_viewdirs
+        )
+        _, metrics = loss_fn(outputs, batch["rgb_gt"])
+        return metrics
+
+    return jax.jit(step)

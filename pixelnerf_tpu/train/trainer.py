@@ -1,0 +1,197 @@
+"""Generic training harness (reference train/trainlib/trainer.py lifecycle).
+
+Epoch/batch loop with interval-driven side effects (print / eval / save /
+vis), Adam with optional per-epoch exponential LR decay, crash-tolerant
+checkpointing, TensorBoard scalars (gated on availability), and resume.
+Overridable hooks mirror the reference: ``post_batch``, ``extra_save_state``,
+``vis_step``.
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import ConfigNode
+from ..render.renderer import RenderConfig
+from .loss import make_render_loss
+from .state import TrainState, load_checkpoint, save_checkpoint
+from .step import make_eval_step, make_train_step
+
+
+class Trainer:
+    def __init__(
+        self,
+        net,
+        variables,
+        train_pipeline: Iterable,
+        test_pipeline: Optional[Iterable],
+        render_cfg: RenderConfig,
+        conf,                       # 'train' + 'loss' config root
+        name: str = "exp",
+        out_dir: str = "results",
+        lr: float = 1e-4,
+        gamma: float = 1.0,
+        mesh=None,
+        num_epochs: int = 10000000,
+        epoch_batches: int = 1000,
+        train_encoder: bool = True,
+        resume: bool = False,
+        vis_fn: Optional[Callable] = None,
+        seed: int = 0,
+    ):
+        self.net = net
+        self.render_cfg = render_cfg
+        self.name = name
+        self.mesh = mesh
+        self.num_epochs = num_epochs
+        self.epoch_batches = epoch_batches
+        self.vis_fn = vis_fn
+
+        tconf = conf.get_config("train", None) or ConfigNode()
+        get = tconf.get_int
+        self.print_interval = get("print_interval", 2)
+        self.save_interval = get("save_interval", 50)
+        self.vis_interval = get("vis_interval", 100)
+        self.eval_interval = get("eval_interval", 50)
+        self.accu_grad = get("accu_grad", 1)
+        self.num_epoch_repeats = get("num_epoch_repeats", 1)
+
+        self.ckpt_dir = os.path.join(out_dir, "checkpoints", name)
+        self.visual_dir = os.path.join(out_dir, "visuals", name)
+        os.makedirs(self.ckpt_dir, exist_ok=True)
+        os.makedirs(self.visual_dir, exist_ok=True)
+
+        self.gamma = gamma
+        schedule = (
+            optax.exponential_decay(lr, transition_steps=epoch_batches, decay_rate=gamma)
+            if gamma != 1.0
+            else lr
+        )
+        optimizer = optax.adam(schedule)
+        if self.accu_grad > 1:
+            optimizer = optax.MultiSteps(optimizer, self.accu_grad)
+        self.optimizer = optimizer
+
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        self.state = TrainState(
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=optimizer.init(params),
+            step=jnp.zeros((), jnp.int32),
+        )
+        if resume:
+            restored = load_checkpoint(self.ckpt_dir, self.state)
+            if restored is not None:
+                self.state = restored
+                print(f"Resumed from step {int(self.state.step)}")
+
+        loss_conf = conf.get_config("loss", None) or ConfigNode()
+        self.loss_fn = make_render_loss(loss_conf)
+        self.train_step = make_train_step(
+            net, render_cfg, optimizer, self.loss_fn, mesh=mesh,
+            train_encoder=train_encoder,
+        )
+        self.eval_step = make_eval_step(net, render_cfg, self.loss_fn, mesh=mesh)
+
+        self.train_pipeline = train_pipeline
+        self.test_pipeline = test_pipeline
+        self.rng = jax.random.PRNGKey(seed)
+
+        self.writer = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            self.writer = SummaryWriter(os.path.join(out_dir, "logs", name))
+        except Exception:
+            pass
+
+    # -- hooks ---------------------------------------------------------------
+
+    def post_batch(self, epoch: int, batch_idx: int) -> None:
+        pass
+
+    def extra_save_state(self) -> None:
+        pass
+
+    # -- loop ----------------------------------------------------------------
+
+    def _next_key(self):
+        self.rng, key = jax.random.split(self.rng)
+        return key
+
+    def _log(self, tag, scalars, step):
+        if self.writer is not None:
+            for k, v in scalars.items():
+                self.writer.add_scalar(f"{tag}/{k}", float(v), step)
+
+    def start(self):
+        train_iter = iter(self.train_pipeline)
+        test_iter = iter(self.test_pipeline) if self.test_pipeline else None
+        t_last = time.time()
+        for epoch in range(self.num_epochs):
+            for batch_idx in range(self.epoch_batches * self.num_epoch_repeats):
+                batch = next(train_iter)
+                batch = {k: v for k, v in batch.items() if k != "step"}
+                if self.mesh is not None:
+                    from ..parallel.mesh import shard_batch
+
+                    batch = shard_batch(self.mesh, batch)
+                self.state, metrics = self.train_step(
+                    self.state, batch, self._next_key()
+                )
+                step = int(self.state.step)
+
+                if batch_idx % self.print_interval == 0:
+                    metrics = {k: float(v) for k, v in metrics.items()}
+                    dt = time.time() - t_last
+                    t_last = time.time()
+                    print(
+                        f"E{epoch} B{batch_idx} "
+                        + " ".join(f"{k}:{v:.5f}" for k, v in metrics.items())
+                        + f" ({dt:.2f}s)"
+                    )
+                    self._log("train", metrics, step)
+
+                if test_iter is not None and batch_idx % self.eval_interval == 1:
+                    test_batch = next(test_iter)
+                    test_batch = {
+                        k: v for k, v in test_batch.items() if k != "step"
+                    }
+                    test_metrics = self.eval_step(
+                        self.state.variables, test_batch, self._next_key()
+                    )
+                    test_metrics = {k: float(v) for k, v in test_metrics.items()}
+                    print(
+                        f"*** eval: "
+                        + " ".join(f"{k}:{v:.5f}" for k, v in test_metrics.items())
+                    )
+                    self._log("test", test_metrics, step)
+
+                if batch_idx % self.save_interval == 1 and (epoch > 0 or batch_idx > 0):
+                    save_checkpoint(self.ckpt_dir, self.state)
+                    self.extra_save_state()
+
+                if self.vis_fn is not None and batch_idx % self.vis_interval == 1:
+                    vis, vis_metrics = self.vis_fn(
+                        self.state, self._next_key(), epoch, batch_idx
+                    )
+                    if vis is not None:
+                        self._save_visual(vis, epoch, batch_idx)
+                    if vis_metrics:
+                        self._log("vis", vis_metrics, step)
+
+                self.post_batch(epoch, batch_idx)
+            save_checkpoint(self.ckpt_dir, self.state)
+
+    def _save_visual(self, vis: np.ndarray, epoch: int, batch_idx: int):
+        import imageio.v2 as imageio
+
+        path = os.path.join(self.visual_dir, f"{epoch:04d}_{batch_idx:04d}_vis.png")
+        imageio.imwrite(path, (np.clip(vis, 0, 1) * 255).astype(np.uint8))
