@@ -1,0 +1,149 @@
+"""Real-image preprocessor (reference scripts/preproc.py).
+
+Segments the foreground object, fits an ellipse to the mask contour, crops a
+square region around it, composites onto white, and resizes to 128x128,
+writing ``*_normalize.png`` for eval_real.
+
+Segmentation backends:
+- detectron2 PointRend (the reference's choice) when installed;
+- otherwise a cv2 GrabCut fallback seeded by a central prior — no extra
+  dependencies, adequate for centered product-style photos.
+
+    python -m pixelnerf_tpu.apps.preproc --input raw/ --output input/
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+
+import numpy as np
+
+
+def _segment_pointrend(img_bgr, coco_class: int):
+    from detectron2.config import get_cfg  # optional heavy dep
+    from detectron2.engine import DefaultPredictor
+    from detectron2.projects import point_rend
+
+    cfg = get_cfg()
+    point_rend.add_pointrend_config(cfg)
+    cfg.merge_from_file(
+        point_rend.__path__[0] + "/configs/InstanceSegmentation/"
+        "pointrend_rcnn_R_50_FPN_3x_coco.yaml"
+    )
+    predictor = DefaultPredictor(cfg)
+    out = predictor(img_bgr)["instances"]
+    keep = out.pred_classes == coco_class
+    if keep.sum() == 0:
+        return None
+    masks = out.pred_masks[keep].cpu().numpy()
+    areas = masks.sum(axis=(1, 2))
+    return masks[int(np.argmax(areas))].astype(np.uint8) * 255
+
+
+def _segment_grabcut(img_bgr, iters: int = 5):
+    import cv2
+
+    h, w = img_bgr.shape[:2]
+    mask = np.full((h, w), cv2.GC_PR_BGD, np.uint8)
+    # central prior: assume the object occupies the middle of the frame
+    rect = (int(w * 0.08), int(h * 0.08), int(w * 0.84), int(h * 0.84))
+    bgd = np.zeros((1, 65), np.float64)
+    fgd = np.zeros((1, 65), np.float64)
+    cv2.grabCut(img_bgr, mask, rect, bgd, fgd, iters, cv2.GC_INIT_WITH_RECT)
+    out = np.where(
+        (mask == cv2.GC_FGD) | (mask == cv2.GC_PR_FGD), 255, 0
+    ).astype(np.uint8)
+    if out.sum() == 0:
+        return None
+    return out
+
+
+def normalize_image(img_rgb: np.ndarray, mask: np.ndarray, size: int = 128,
+                    scale_major: float = 0.8, scale_minor: float = 4.37):
+    """Ellipse-fit crop + white composite (reference preproc.py:240-298)."""
+    import cv2
+
+    contours, _ = cv2.findContours(
+        mask, cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE
+    )
+    if not contours:
+        return None
+    contour = max(contours, key=cv2.contourArea)
+    if len(contour) < 5:
+        return None
+    (cx, cy), (minor, major), _angle = cv2.fitEllipse(contour)
+    radius = max(minor * scale_minor, major * scale_major) / 2.0
+
+    x0, y0 = int(round(cx - radius)), int(round(cy - radius))
+    x1, y1 = int(round(cx + radius)), int(round(cy + radius))
+    h, w = img_rgb.shape[:2]
+    pad_l, pad_t = max(0, -x0), max(0, -y0)
+    pad_r, pad_b = max(0, x1 - w), max(0, y1 - h)
+    comp = img_rgb.astype(np.float32)
+    m = (mask.astype(np.float32) / 255.0)[..., None]
+    comp = comp * m + 255.0 * (1.0 - m)
+    comp = np.pad(
+        comp, ((pad_t, pad_b), (pad_l, pad_r), (0, 0)), constant_values=255.0
+    )
+    crop = comp[y0 + pad_t : y1 + pad_t, x0 + pad_l : x1 + pad_l]
+    out = cv2.resize(crop.astype(np.uint8), (size, size), interpolation=cv2.INTER_AREA)
+    return out
+
+
+def main(argv=None):
+    import cv2
+    import imageio.v2 as imageio
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--input", type=str, default="raw")
+    parser.add_argument("--output", type=str, default="input")
+    parser.add_argument("--size", type=int, default=128)
+    parser.add_argument("--coco_class", type=int, default=2, help="car")
+    parser.add_argument("--backend", type=str, default="auto",
+                        choices=["auto", "pointrend", "grabcut"])
+    args = parser.parse_args(argv)
+
+    if os.path.isdir(args.input):
+        paths = sorted(
+            p for p in glob.glob(os.path.join(args.input, "*"))
+            if p.lower().endswith((".png", ".jpg", ".jpeg"))
+            and not p.endswith("_normalize.png")
+        )
+    else:
+        paths = sorted(glob.glob(args.input))
+    os.makedirs(args.output, exist_ok=True)
+
+    use_pointrend = args.backend in ("auto", "pointrend")
+    if use_pointrend:
+        try:
+            import detectron2  # noqa: F401
+        except ImportError:
+            if args.backend == "pointrend":
+                raise
+            use_pointrend = False
+            print("detectron2 unavailable; using GrabCut fallback segmentation")
+
+    for path in paths:
+        img = imageio.imread(path)[..., :3]
+        bgr = cv2.cvtColor(img, cv2.COLOR_RGB2BGR)
+        mask = (
+            _segment_pointrend(bgr, args.coco_class)
+            if use_pointrend
+            else _segment_grabcut(bgr)
+        )
+        if mask is None:
+            print(f"SKIP {path}: no object found")
+            continue
+        out = normalize_image(img, mask, size=args.size)
+        if out is None:
+            print(f"SKIP {path}: degenerate mask")
+            continue
+        base = os.path.splitext(os.path.basename(path))[0]
+        out_path = os.path.join(args.output, f"{base}_normalize.png")
+        imageio.imwrite(out_path, out)
+        print("Wrote", out_path)
+
+
+if __name__ == "__main__":
+    main()

@@ -54,8 +54,9 @@ class ConfigNode(dict):
     def get_float(self, key: str, default: Any = _MISSING) -> float:
         return float(self._get(key, default))
 
-    def get_string(self, key: str, default: Any = _MISSING) -> str:
-        return str(self._get(key, default))
+    def get_string(self, key: str, default: Any = _MISSING) -> Optional[str]:
+        v = self._get(key, default)
+        return v if v is None else str(v)
 
     def get_list(self, key: str, default: Any = _MISSING) -> Optional[list]:
         v = self._get(key, default)

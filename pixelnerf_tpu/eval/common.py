@@ -27,6 +27,7 @@ class FullRenderer:
         mesh=None,
         ray_chunk: int = 50000,
         want_weights: bool = False,
+        fast: bool = False,
     ):
         self.net = net
         self.cfg = cfg
@@ -38,7 +39,7 @@ class FullRenderer:
             def query_fn(xyz, viewdirs, coarse):
                 return net.apply(
                     variables, enc, xyz, viewdirs=viewdirs, coarse=coarse,
-                    method=net.query,
+                    fast=fast, method=net.query,
                 )
 
             return render_rays(

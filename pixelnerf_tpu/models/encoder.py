@@ -9,7 +9,7 @@ state, so everything jits/vmaps/shards trivially.
 """
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
@@ -73,6 +73,7 @@ class SpatialEncoder(nn.Module):
     index_interp: str = "bilinear"
     index_padding: str = "border"
     feature_scale: float = 1.0
+    dtype: Any = jnp.float32
 
     @property
     def latent_size(self) -> int:
@@ -97,6 +98,7 @@ class SpatialEncoder(nn.Module):
             backbone=self.backbone,
             num_layers=self.num_layers,
             use_first_pool=self.use_first_pool,
+            dtype=self.dtype,
             name="model",
         )(x, train)
         target_h, target_w = latents[0].shape[1:3]
@@ -124,6 +126,7 @@ class SpatialEncoder(nn.Module):
             index_interp=conf.get_string("index_interp", "bilinear"),
             index_padding=conf.get_string("index_padding", "border"),
             feature_scale=conf.get_float("feature_scale", 1.0),
+            dtype=jnp.dtype(conf.get_string("dtype", "float32")),
         )
 
 

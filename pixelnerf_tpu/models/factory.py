@@ -48,6 +48,15 @@ def make_model(conf, stop_encoder_grad: bool = False) -> PixelNeRFNet:
     if model_type != "pixelnerf":
         raise NotImplementedError(f"Unsupported model type {model_type}")
 
+    # model-level compute dtype (bfloat16 for MXU throughput, float32 for
+    # strict checkpoint parity) pushed into encoder/mlp subtrees as a default
+    dtype = conf.get("dtype", None)
+    if dtype is not None:
+        for sub in ("encoder", "mlp_coarse", "mlp_fine", "global_encoder"):
+            subconf = conf.get(sub)
+            if isinstance(subconf, dict):
+                subconf.setdefault("dtype", dtype)
+
     use_encoder = conf.get_bool("use_encoder", True)
     use_xyz = conf.get_bool("use_xyz", False)
     assert use_encoder or use_xyz
@@ -86,6 +95,8 @@ def make_model(conf, stop_encoder_grad: bool = False) -> PixelNeRFNet:
         d_latent,
         allow_empty=True,
     )
+    import jax.numpy as jnp
+
     return PixelNeRFNet(
         encoder=encoder,
         mlp_coarse=mlp_coarse,
@@ -98,4 +109,6 @@ def make_model(conf, stop_encoder_grad: bool = False) -> PixelNeRFNet:
         use_code_viewdirs=use_code_viewdirs,
         use_viewdirs=use_viewdirs,
         stop_encoder_grad=stop_encoder_grad,
+        latent_dtype=jnp.dtype(dtype) if dtype is not None else jnp.float32,
+        quad_gather=conf.get_bool("quad_gather", False),
     )

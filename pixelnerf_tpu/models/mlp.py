@@ -9,7 +9,7 @@ factory has a latent bug (model_util.py:8 never imports ImplicitNet, so
 from __future__ import annotations
 
 import math
-from typing import Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -34,6 +34,7 @@ class ImplicitNet(nn.Module):
     dim_excludes_skip: bool = False
     combine_layer: int = 1000
     combine_type: str = "average"
+    dtype: Any = jnp.float32
 
     def _layer_dims(self):
         dims = [self.d_in] + list(self.dims) + [self.d_out]
@@ -75,8 +76,11 @@ class ImplicitNet(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jax.Array, combine_inner_dims: Sequence[int] = (1,)
+        self, x, combine_inner_dims: Sequence[int] = (1,), fast: bool = False
     ) -> jax.Array:
+        del fast  # no fused kernel for this architecture yet
+        if isinstance(x, (tuple, list)):  # (z, x) convention from the field
+            x = jnp.concatenate([v for v in x if v is not None], axis=-1)
         dims = self._layer_dims()
         num_layers = len(dims)
         act = _activation(self.beta)
@@ -104,11 +108,12 @@ class ImplicitNet(nn.Module):
                 out_dim,
                 kernel_init=self._kernel_init(layer, num_layers, dims[layer], out_dim),
                 bias_init=self._bias_init(layer, num_layers),
+                dtype=self.dtype,
                 name=f"lin{layer}",
             )(x)
             if layer < num_layers - 2:
                 x = act(x)
-        return x
+        return x.astype(jnp.float32)
 
     @classmethod
     def from_conf(cls, conf, d_in: int, **kwargs) -> "ImplicitNet":
@@ -120,5 +125,6 @@ class ImplicitNet(nn.Module):
             dim_excludes_skip=conf.get_bool("dim_excludes_skip", False),
             combine_layer=conf.get_int("combine_layer", 1000),
             combine_type=conf.get_string("combine_type", "average"),
+            dtype=jnp.dtype(conf.get_string("dtype", "float32")),
             **kwargs,
         )

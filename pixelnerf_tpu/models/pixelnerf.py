@@ -43,6 +43,7 @@ class SceneEncoding:
     image_shape: jax.Array            # (2,) [W, H] of the encoded images
     num_views: int = flax.struct.field(pytree_node=False, default=1)
     global_latent: Optional[jax.Array] = None   # (SB*NS, G) if use_global_encoder
+    latent_quad: Optional[jax.Array] = None     # (SB*NS, Hl, Wl, 4C) corner map
 
 
 def _normalize_intrinsic(v, batch: int, name: str) -> jax.Array:
@@ -72,6 +73,12 @@ class PixelNeRFNet(nn.Module):
     use_code_viewdirs: bool = True
     use_viewdirs: bool = False
     stop_encoder_grad: bool = False
+    latent_dtype: Any = jnp.float32  # storage dtype of the cached feature map
+    # Precompute the 4-corner feature map so each query is ONE gather.
+    # Measured ~1.5x faster for the isolated gather but a wash end-to-end on
+    # v5e (the wider rows repay the saved indices in lerp bandwidth), so off
+    # by default; kept as a config switch for larger latents / other chips.
+    quad_gather: bool = False
 
     @property
     def use_code(self) -> bool:
@@ -129,6 +136,19 @@ class PixelNeRFNet(nn.Module):
         latent = (
             self.encoder(images_flat, train=train) if self.use_encoder else None
         )
+        latent_quad = None
+        if latent is not None:
+            # bf16 storage halves the pixel-aligned gather's HBM traffic in
+            # the render hot loop; interpolation still upcasts to f32
+            latent = latent.astype(self.latent_dtype)
+            if (
+                self.quad_gather
+                and self.encoder.index_interp == "bilinear"
+                and self.encoder.index_padding == "border"
+            ):
+                from ..ops.grid_sample import build_quad_features
+
+                latent_quad = build_quad_features(latent)
         w2c = invert_pose(poses.reshape(SB * NS, 4, 4))
         image_shape = jnp.array([W, H], dtype=jnp.float32)
 
@@ -152,6 +172,7 @@ class PixelNeRFNet(nn.Module):
             image_shape=image_shape,
             num_views=NS,
             global_latent=global_latent,
+            latent_quad=latent_quad,
         )
 
     def query(
@@ -160,6 +181,7 @@ class PixelNeRFNet(nn.Module):
         xyz: jax.Array,
         viewdirs: Optional[jax.Array] = None,
         coarse: bool = True,
+        fast: bool = False,
     ) -> jax.Array:
         """Predict (r, g, b, sigma) at world points.
 
@@ -202,26 +224,34 @@ class PixelNeRFNet(nn.Module):
             focal = repeat_interleave(enc.focal, NS)
             cc = repeat_interleave(enc.c, NS)
             uv = uv * focal[:, None, :] + cc[:, None, :]
-            latent = index_latent(
-                enc.latent,
-                uv,
-                enc.image_shape,
-                self.encoder.index_interp,
-                self.encoder.index_padding,
-            )                                                      # (SB*NS, B, C)
+            if enc.latent_quad is not None:
+                from ..models.encoder import latent_scaling
+                from ..ops.grid_sample import grid_sample_quad
+
+                scale = (
+                    latent_scaling(enc.latent.shape[1], enc.latent.shape[2])
+                    / enc.image_shape
+                )
+                latent = grid_sample_quad(enc.latent_quad, uv * scale - 1.0)
+            else:
+                latent = index_latent(
+                    enc.latent,
+                    uv,
+                    enc.image_shape,
+                    self.encoder.index_interp,
+                    self.encoder.index_padding,
+                )                                                  # (SB*NS, B, C)
             if self.stop_encoder_grad:
                 latent = jax.lax.stop_gradient(latent)
-            if d_in == 0:
-                mlp_input = latent
-            else:
-                mlp_input = jnp.concatenate([latent, mlp_input], axis=-1)
-
-        if self.use_global_encoder:
-            glob = ImageEncoder.index(enc.global_latent, mlp_input)  # (SB*NS, B, G)
-            mlp_input = jnp.concatenate([glob, mlp_input], axis=-1)
+            if self.use_global_encoder:
+                glob = ImageEncoder.index(enc.global_latent, latent)  # (SB*NS, B, G)
+                latent = jnp.concatenate([glob, latent], axis=-1)
+            # pass (z, x) unconcatenated — ResnetFC fuses the latent
+            # injections into one GEMM and never materializes the concat
+            mlp_input = (latent, mlp_input) if d_in > 0 else latent
 
         mlp = self.mlp_coarse if (coarse or self.mlp_fine is None) else self.mlp_fine
-        out = mlp(mlp_input, combine_inner_dims=(NS, B))           # (SB, B, 4)
+        out = mlp(mlp_input, combine_inner_dims=(NS, B), fast=fast)  # (SB, B, 4)
         out = out.reshape(SB, B, 4)
         rgb = nn.sigmoid(out[..., :3])
         sigma = nn.relu(out[..., 3:4])

@@ -11,7 +11,7 @@ importer (torch_import.py) is a mechanical key map.
 """
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax
@@ -33,7 +33,8 @@ def max_pool_3x3_s2(x: jax.Array) -> jax.Array:
     )
 
 
-def _conv(features: int, kernel: int, stride: int, name: str) -> nn.Conv:
+def _conv(features: int, kernel: int, stride: int, name: str,
+          dtype: Any = jnp.float32) -> nn.Conv:
     """torch-style Conv2d(kernel, stride, padding=kernel//2, bias=False)."""
     pad = kernel // 2
     return nn.Conv(
@@ -42,15 +43,17 @@ def _conv(features: int, kernel: int, stride: int, name: str) -> nn.Conv:
         strides=(stride, stride),
         padding=((pad, pad), (pad, pad)),
         use_bias=False,
+        dtype=dtype,
         name=name,
     )
 
 
-def _bn(train: bool, name: str) -> nn.BatchNorm:
+def _bn(train: bool, name: str, dtype: Any = jnp.float32) -> nn.BatchNorm:
     return nn.BatchNorm(
         use_running_average=not train,
         momentum=BN_MOMENTUM,
         epsilon=BN_EPS,
+        dtype=dtype,
         name=name,
     )
 
@@ -61,18 +64,20 @@ class BasicBlock(nn.Module):
     features: int
     stride: int = 1
     use_projection: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         identity = x
-        y = _conv(self.features, 3, self.stride, "conv1")(x)
-        y = _bn(train, "bn1")(y)
+        y = _conv(self.features, 3, self.stride, "conv1", self.dtype)(x)
+        y = _bn(train, "bn1", self.dtype)(y)
         y = nn.relu(y)
-        y = _conv(self.features, 3, 1, "conv2")(y)
-        y = _bn(train, "bn2")(y)
+        y = _conv(self.features, 3, 1, "conv2", self.dtype)(y)
+        y = _bn(train, "bn2", self.dtype)(y)
         if self.use_projection:
-            identity = _conv(self.features, 1, self.stride, "downsample_conv")(x)
-            identity = _bn(train, "downsample_bn")(identity)
+            identity = _conv(self.features, 1, self.stride, "downsample_conv",
+                             self.dtype)(x)
+            identity = _bn(train, "downsample_bn", self.dtype)(identity)
         return nn.relu(y + identity)
 
 
@@ -84,6 +89,7 @@ class ResNetStage(nn.Module):
     features: int
     num_blocks: int
     stride: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -93,7 +99,8 @@ class ResNetStage(nn.Module):
                 stride != 1 or x.shape[-1] != self.features
             )
             x = BasicBlock(
-                self.features, stride, use_projection, name=f"block{j}"
+                self.features, stride, use_projection, dtype=self.dtype,
+                name=f"block{j}",
             )(x, train)
         return x
 
@@ -109,29 +116,31 @@ class ResNetFeatures(nn.Module):
     backbone: str = "resnet34"
     num_layers: int = 4
     use_first_pool: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> Sequence[jax.Array]:
         sizes = STAGE_SIZES[self.backbone]
-        x = _conv(64, 7, 2, "conv1")(x)
-        x = _bn(train, "bn1")(x)
+        dt = self.dtype
+        x = _conv(64, 7, 2, "conv1", dt)(x.astype(dt))
+        x = _bn(train, "bn1", dt)(x)
         x = nn.relu(x)
         latents = [x]
         if self.num_layers > 1:
             if self.use_first_pool:
                 x = max_pool_3x3_s2(x)
-            x = ResNetStage(STAGE_FEATURES[0], sizes[0], 1, name="layer1")(x, train)
+            x = ResNetStage(STAGE_FEATURES[0], sizes[0], 1, dtype=dt, name="layer1")(x, train)
             latents.append(x)
         if self.num_layers > 2:
-            x = ResNetStage(STAGE_FEATURES[1], sizes[1], 2, name="layer2")(x, train)
+            x = ResNetStage(STAGE_FEATURES[1], sizes[1], 2, dtype=dt, name="layer2")(x, train)
             latents.append(x)
         if self.num_layers > 3:
-            x = ResNetStage(STAGE_FEATURES[2], sizes[2], 2, name="layer3")(x, train)
+            x = ResNetStage(STAGE_FEATURES[2], sizes[2], 2, dtype=dt, name="layer3")(x, train)
             latents.append(x)
         if self.num_layers > 4:
-            x = ResNetStage(STAGE_FEATURES[3], sizes[3], 2, name="layer4")(x, train)
+            x = ResNetStage(STAGE_FEATURES[3], sizes[3], 2, dtype=dt, name="layer4")(x, train)
             latents.append(x)
-        return latents
+        return [l.astype(jnp.float32) for l in latents]
 
 
 class ResNetTrunk(nn.Module):

@@ -12,7 +12,7 @@ we keep (..., d) shapes so vmap/shard_map compose).
 """
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax
@@ -39,6 +39,7 @@ class ResnetBlockFC(nn.Module):
     size_out: int | None = None
     size_h: int | None = None
     beta: float = 0.0
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -46,17 +47,53 @@ class ResnetBlockFC(nn.Module):
         size_out = self.size_out or size_in
         size_h = self.size_h or min(size_in, size_out)
         act = _activation(self.beta)
-        net = nn.Dense(size_h, kernel_init=kaiming_normal, name="fc_0")(act(x))
-        dx = nn.Dense(size_out, kernel_init=nn.initializers.zeros, name="fc_1")(
-            act(net)
-        )
+        net = nn.Dense(
+            size_h, kernel_init=kaiming_normal, dtype=self.dtype, name="fc_0"
+        )(act(x))
+        dx = nn.Dense(
+            size_out, kernel_init=nn.initializers.zeros, dtype=self.dtype, name="fc_1"
+        )(act(net))
         if size_in == size_out:
             x_s = x
         else:
             x_s = nn.Dense(
-                size_out, use_bias=False, kernel_init=kaiming_normal, name="shortcut"
+                size_out, use_bias=False, kernel_init=kaiming_normal,
+                dtype=self.dtype, name="shortcut",
             )(x)
         return x_s + dx
+
+
+class _DeclaredLinear(nn.Module):
+    """Parameter container shaped/named like nn.Dense but *not* applied at its
+    own call site — the caller computes with the returned arrays. Keeps the
+    checkpoint layout (``lin_z_k/kernel``) while letting ResnetFC fuse GEMMs
+    or hand the weights to the Pallas kernel."""
+
+    d_in: int
+    features: int
+    kernel_init: Any = kaiming_normal
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", self.kernel_init, (self.d_in, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
+class _DeclaredBlock(nn.Module):
+    """Parameter container matching ResnetBlockFC's tree (fc_0 kaiming,
+    fc_1 zero-init)."""
+
+    d_hidden: int
+
+    @nn.compact
+    def __call__(self):
+        k0, b0 = _DeclaredLinear(self.d_hidden, self.d_hidden, name="fc_0")()
+        k1, b1 = _DeclaredLinear(
+            self.d_hidden, self.d_hidden, kernel_init=nn.initializers.zeros,
+            name="fc_1",
+        )()
+        return k0, b0, k1, b1
 
 
 class ResnetFC(nn.Module):
@@ -69,52 +106,162 @@ class ResnetFC(nn.Module):
     combine_layer: int = 1000
     combine_type: str = "average"
     use_spade: bool = False
+    dtype: Any = jnp.float32  # compute dtype; params stay f32
+
+    def _declare(self):
+        """Declare the full parameter tree (same names/shapes the reference's
+        state_dict maps to) and return the raw arrays."""
+        p = {}
+        if self.d_in > 0:
+            p["lin_in"] = _DeclaredLinear(self.d_in, self.d_hidden, name="lin_in")()
+        n_lin_z = min(self.combine_layer, self.n_blocks)
+        if self.d_latent > 0:
+            p["lin_z"] = [
+                _DeclaredLinear(self.d_latent, self.d_hidden, name=f"lin_z_{i}")()
+                for i in range(n_lin_z)
+            ]
+            if self.use_spade:
+                p["scale_z"] = [
+                    _DeclaredLinear(self.d_latent, self.d_hidden, name=f"scale_z_{i}")()
+                    for i in range(n_lin_z)
+                ]
+        p["blocks"] = [
+            _DeclaredBlock(self.d_hidden, name=f"block{i}")()
+            for i in range(self.n_blocks)
+        ]
+        p["lin_out"] = _DeclaredLinear(self.d_hidden, self.d_out, name="lin_out")()
+        return p
+
+    def _can_use_kernel(self, z, x, single_view: bool) -> bool:
+        return (
+            self.beta <= 0.0
+            and not self.use_spade
+            and self.d_latent > 0
+            and self.d_in > 0
+            and z is not None
+            and single_view
+            and self.dtype == jnp.bfloat16
+        )
 
     @nn.compact
     def __call__(
-        self, zx: jax.Array, combine_inner_dims: Sequence[int] = (1,)
+        self, zx, combine_inner_dims: Sequence[int] = (1,), fast: bool = False
     ) -> jax.Array:
-        """:param zx: (..., d_latent + d_in) — latent first, then spatial code
+        """:param zx: (..., d_latent + d_in) — latent first, then spatial
+            code — or a tuple ``(z, x)`` kept unconcatenated (avoids
+            materializing the concat in the hot path)
         :param combine_inner_dims: (NS, B); the leading axis is reduced over
             NS at combine_layer (multi-view fusion)
+        :param fast: allow the fused Pallas inference kernel (single-view,
+            ReLU, bf16; falls back to XLA otherwise). Inference only.
         :return: (..., d_out) with the NS axis folded away if NS > 1
         """
-        assert zx.shape[-1] == self.d_latent + self.d_in
         act = _activation(self.beta)
-        if self.d_latent > 0:
-            z, x = zx[..., : self.d_latent], zx[..., self.d_latent :]
+        if isinstance(zx, (tuple, list)):
+            z, x = zx
+            z = z.astype(self.dtype) if z is not None else None
+            x = x.astype(self.dtype)
+            assert (0 if z is None else z.shape[-1]) == self.d_latent
+            assert x.shape[-1] == self.d_in
         else:
-            z, x = None, zx
+            assert zx.shape[-1] == self.d_latent + self.d_in
+            zx = zx.astype(self.dtype)
+            if self.d_latent > 0:
+                z, x = zx[..., : self.d_latent], zx[..., self.d_latent :]
+            else:
+                z, x = None, zx
+
+        p = self._declare()
+        dt = self.dtype
+        single_view = (
+            len(combine_inner_dims) == 1 or combine_inner_dims[0] == 1
+        ) or self.combine_layer >= self.n_blocks
+
+        if fast and self._can_use_kernel(z, x, single_view):
+            from ..ops.fused_mlp import fused_resnetfc_infer, pack_weights
+
+            params_sub = {"lin_in": dict(zip(("kernel", "bias"), p["lin_in"]))}
+            for i, (k, b) in enumerate(p["lin_z"]):
+                params_sub[f"lin_z_{i}"] = {"kernel": k, "bias": b}
+            for i, (k0, b0, k1, b1) in enumerate(p["blocks"]):
+                params_sub[f"block{i}"] = {
+                    "fc_0": {"kernel": k0, "bias": b0},
+                    "fc_1": {"kernel": k1, "bias": b1},
+                }
+            params_sub["lin_out"] = dict(zip(("kernel", "bias"), p["lin_out"]))
+            weights = pack_weights(
+                params_sub, self.n_blocks, self.combine_layer,
+                self.d_latent, self.d_in, self.d_hidden,
+            )
+            lead = x.shape[:-1]
+            out = fused_resnetfc_infer(
+                z.reshape(-1, self.d_latent),
+                x.reshape(-1, self.d_in),
+                weights,
+                self.n_blocks,
+                self.combine_layer,
+                interpret=jax.default_backend() != "tpu",
+            )
+            out = out[..., : self.d_out]
+            if (
+                self.combine_layer < self.n_blocks
+                and len(combine_inner_dims) > 1
+            ):
+                # the XLA path folds to (SB, B, d) at the combine layer even
+                # for NS=1; mirror that output shape
+                out = out.reshape(-1, combine_inner_dims[-1], self.d_out)
+            else:
+                out = out.reshape(*lead, self.d_out)
+            return out.astype(jnp.float32)
+
+        def dense(a, kb):
+            k, b = kb
+            return a @ k.astype(dt) + b.astype(dt)
+
+        tz_list = sz_list = None
+        if z is not None and self.d_latent > 0:
+            # all latent injections as ONE GEMM: reads the big z tensor once
+            # instead of n_lin_z times (the hot path is HBM-bound)
+            K = jnp.concatenate([k for k, _ in p["lin_z"]], axis=1).astype(dt)
+            B = jnp.concatenate([b for _, b in p["lin_z"]]).astype(dt)
+            tz_all = z @ K + B
+            tz_list = [
+                tz_all[..., i * self.d_hidden : (i + 1) * self.d_hidden]
+                for i in range(len(p["lin_z"]))
+            ]
+            if self.use_spade:
+                Ks = jnp.concatenate([k for k, _ in p["scale_z"]], axis=1).astype(dt)
+                Bs = jnp.concatenate([b for _, b in p["scale_z"]]).astype(dt)
+                sz_all = z @ Ks + Bs
+                sz_list = [
+                    sz_all[..., i * self.d_hidden : (i + 1) * self.d_hidden]
+                    for i in range(len(p["scale_z"]))
+                ]
+
         if self.d_in > 0:
-            x = nn.Dense(self.d_hidden, kernel_init=kaiming_normal, name="lin_in")(x)
+            x = dense(x, p["lin_in"])
         else:
-            x = jnp.zeros(zx.shape[:-1] + (self.d_hidden,), dtype=zx.dtype)
+            x = jnp.zeros(z.shape[:-1] + (self.d_hidden,), dtype=dt)
 
         for blkid in range(self.n_blocks):
             if blkid == self.combine_layer:
                 x = combine_interleaved(
                     x.reshape(-1, x.shape[-1]), combine_inner_dims, self.combine_type
                 )
-                if z is not None:
-                    z = None  # latent already injected before the fusion point
+                tz_list = sz_list = None  # latent injected only before fusion
 
-            if z is not None and blkid < self.combine_layer:
-                tz = nn.Dense(
-                    self.d_hidden, kernel_init=kaiming_normal, name=f"lin_z_{blkid}"
-                )(z)
-                if self.use_spade:
-                    sz = nn.Dense(
-                        self.d_hidden,
-                        kernel_init=kaiming_normal,
-                        name=f"scale_z_{blkid}",
-                    )(z)
-                    x = sz * x + tz
+            if tz_list is not None and blkid < self.combine_layer:
+                if sz_list is not None:
+                    x = sz_list[blkid] * x + tz_list[blkid]
                 else:
-                    x = x + tz
+                    x = x + tz_list[blkid]
 
-            x = ResnetBlockFC(beta=self.beta, name=f"block{blkid}")(x)
+            k0, b0, k1, b1 = p["blocks"][blkid]
+            net = dense(act(x), (k0, b0))
+            x = x + dense(act(net), (k1, b1))
 
-        return nn.Dense(self.d_out, kernel_init=kaiming_normal, name="lin_out")(act(x))
+        out = dense(act(x), p["lin_out"])
+        return out.astype(jnp.float32)
 
     @classmethod
     def from_conf(cls, conf, d_in: int, **kwargs) -> "ResnetFC":
@@ -126,5 +273,6 @@ class ResnetFC(nn.Module):
             combine_layer=conf.get_int("combine_layer", 1000),
             combine_type=conf.get_string("combine_type", "average"),
             use_spade=conf.get_bool("use_spade", False),
+            dtype=jnp.dtype(conf.get_string("dtype", "float32")),
             **kwargs,
         )

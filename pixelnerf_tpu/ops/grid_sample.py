@@ -114,3 +114,51 @@ def grid_sample(
     top = v00 * (1.0 - wx) + v01 * wx
     bot = v10 * (1.0 - wx) + v11 * wx
     return top * (1.0 - wy) + bot * wy
+
+
+def build_quad_features(features: jax.Array) -> jax.Array:
+    """Precompute the 4 bilinear corners per pixel: (N, H, W, C) -> (N, H, W, 4C).
+
+    Row (y, x) holds [f(y,x), f(y,x+1), f(y+1,x), f(y+1,x+1)] with edge
+    clamping — exactly the four corners border-padded bilinear sampling at a
+    point in cell (y, x) touches. XLA's TPU gather is index-count-bound (a
+    4-corner lookup costs 4 row-gathers), so trading 4x feature memory for a
+    single gather per query point makes the pixel-aligned lookup ~4x faster.
+    """
+    right = jnp.concatenate([features[:, :, 1:], features[:, :, -1:]], axis=2)
+    down = jnp.concatenate([features[:, 1:], features[:, -1:]], axis=1)
+    downright = jnp.concatenate([right[:, 1:], right[:, -1:]], axis=1)
+    return jnp.concatenate([features, right, down, downright], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("align_corners",))
+def grid_sample_quad(
+    quad: jax.Array, grid: jax.Array, align_corners: bool = True
+) -> jax.Array:
+    """Bilinear/border grid sample against a quad-corner map (ONE gather).
+
+    :param quad: (N, H, W, 4C) from :func:`build_quad_features`
+    :param grid: (N, P, 2) normalized (x, y) in [-1, 1]
+    :return: (N, P, C) — identical values to
+        ``grid_sample(features, grid, 'bilinear', 'border', align_corners)``
+    """
+    N, H, W, C4 = quad.shape
+    C = C4 // 4
+    gx, gy = grid[..., 0], grid[..., 1]
+    ix = _compute_source_index(gx, W, "border", align_corners)
+    iy = _compute_source_index(gy, H, "border", align_corners)
+    ix0 = jnp.floor(ix)
+    iy0 = jnp.floor(iy)
+    wx = (ix - ix0)[..., None]
+    wy = (iy - iy0)[..., None]
+    idx = (iy0.astype(jnp.int32) * W + ix0.astype(jnp.int32)).astype(jnp.int32)
+
+    flat = quad.reshape(N, H * W, C4)
+    rows = jnp.take_along_axis(flat, idx[..., None], axis=1)   # (N, P, 4C)
+    v00 = rows[..., 0 * C : 1 * C]
+    v01 = rows[..., 1 * C : 2 * C]
+    v10 = rows[..., 2 * C : 3 * C]
+    v11 = rows[..., 3 * C : 4 * C]
+    top = v00 * (1.0 - wx) + v01 * wx
+    bot = v10 * (1.0 - wx) + v11 * wx
+    return top * (1.0 - wy) + bot * wy
