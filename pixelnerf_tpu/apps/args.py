@@ -47,6 +47,10 @@ def parse_args(
                         help="ray-axis size of the device mesh")
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="dump a TensorBoard-viewable XLA trace here")
+    parser.add_argument(
+        "--override", action="append", default=[], metavar="KEY=VALUE",
+        help="config override, e.g. --override model.mlp_coarse.d_hidden=64",
+    )
     if callback is not None:
         callback(parser)
     args = parser.parse_args(argv)
@@ -69,6 +73,23 @@ def parse_args(
             args.conf = candidate
 
     conf = load_config(args.conf)
+    for ov in args.override:
+        key, eq, value = ov.partition("=")
+        if not eq or not key:
+            parser.error(
+                f"--override expects KEY=VALUE, got {ov!r} "
+                "(e.g. --override renderer.n_coarse=64)"
+            )
+        node = conf
+        parts = key.split(".")
+        for part in parts[:-1]:
+            if part not in node:
+                dict.__setitem__(node, part, ConfigNode())
+            node = node[part]
+        from ..config.hocon import _parse_value
+
+        dict.__setitem__(node, parts[-1], _parse_value(value))
+
     if args.dataset_format is None:
         args.dataset_format = conf.get_string("data.format", "dvr")
 

@@ -21,9 +21,10 @@ from ..data import RayBatchPipeline, get_split_dataset
 from ..eval.common import FullRenderer, depth_cmap
 from ..models import make_model
 from ..parallel.mesh import make_mesh
-from ..render.renderer import RenderConfig
+from ..render.renderer import RenderConfig, RenderSchedule
 from ..train.trainer import Trainer
 from ..utils import geometry, metrics
+from ..utils.profiling import trace
 from .args import parse_args
 
 
@@ -161,9 +162,13 @@ def main(argv=None):
         train_encoder=not args.freeze_enc,
         resume=args.resume,
         vis_fn=vis_step,
+        render_schedule=RenderSchedule.from_conf(
+            conf.get_config("renderer", ConfigNode()), render_cfg
+        ),
         seed=args.seed,
     )
-    trainer.start()
+    with trace(args.profile_dir):
+        trainer.start()
 
 
 if __name__ == "__main__":

@@ -67,6 +67,37 @@ class RenderConfig:
         )
 
 
+class RenderSchedule:
+    """Sample-count schedule (reference nerf.py:318-338).
+
+    ``sched = [iters, n_coarse, n_fine]``: once the training iteration
+    crosses ``iters[k]``, sampling switches to ``(n_coarse[k], n_fine[k])``.
+    Each distinct count pair is its own static RenderConfig (one compiled
+    train step per stage); position is derived from the persisted step
+    counter, so resume lands on the right stage automatically.
+    """
+
+    def __init__(self, base: RenderConfig, sched):
+        self.base = base
+        self.sched = sched if sched else None
+
+    def at_step(self, iter_idx: int) -> RenderConfig:
+        if not self.sched:
+            return self.base
+        iters, n_coarse, n_fine = self.sched
+        cfg = self.base
+        for k in range(len(iters)):
+            if iter_idx >= iters[k]:
+                cfg = dataclasses.replace(
+                    self.base, n_coarse=int(n_coarse[k]), n_fine=int(n_fine[k])
+                )
+        return cfg
+
+    @classmethod
+    def from_conf(cls, conf, base: RenderConfig) -> "RenderSchedule":
+        return cls(base, conf.get_list("sched", None))
+
+
 def _z_from_steps(rays: jax.Array, z_steps: jax.Array, lindisp: bool) -> jax.Array:
     near, far = rays[..., 6:7], rays[..., 7:8]
     if not lindisp:

@@ -43,6 +43,7 @@ class Trainer:
         train_encoder: bool = True,
         resume: bool = False,
         vis_fn: Optional[Callable] = None,
+        render_schedule=None,
         seed: int = 0,
     ):
         self.net = net
@@ -94,11 +95,11 @@ class Trainer:
 
         loss_conf = conf.get_config("loss", None) or ConfigNode()
         self.loss_fn = make_render_loss(loss_conf)
-        self.train_step = make_train_step(
-            net, render_cfg, optimizer, self.loss_fn, mesh=mesh,
-            train_encoder=train_encoder,
-        )
-        self.eval_step = make_eval_step(net, render_cfg, self.loss_fn, mesh=mesh)
+        self.render_schedule = render_schedule
+        self.train_encoder = train_encoder
+        self._step_cache = {}
+        self.train_step = self._steps_for(render_cfg)[0]
+        self.eval_step = self._steps_for(render_cfg)[1]
 
         self.train_pipeline = train_pipeline
         self.test_pipeline = test_pipeline
@@ -111,6 +112,19 @@ class Trainer:
             self.writer = SummaryWriter(os.path.join(out_dir, "logs", name))
         except Exception:
             pass
+
+    def _steps_for(self, cfg: RenderConfig):
+        """Compiled (train_step, eval_step) for a render config, cached —
+        the sample-count schedule switches between a few static configs."""
+        if cfg not in self._step_cache:
+            self._step_cache[cfg] = (
+                make_train_step(
+                    self.net, cfg, self.optimizer, self.loss_fn,
+                    mesh=self.mesh, train_encoder=self.train_encoder,
+                ),
+                make_eval_step(self.net, cfg, self.loss_fn, mesh=self.mesh),
+            )
+        return self._step_cache[cfg]
 
     # -- hooks ---------------------------------------------------------------
 
@@ -143,6 +157,14 @@ class Trainer:
                     from ..parallel.mesh import shard_batch
 
                     batch = shard_batch(self.mesh, batch)
+                if self.render_schedule is not None:
+                    cfg = self.render_schedule.at_step(int(self.state.step))
+                    if cfg not in self._step_cache:
+                        print(
+                            "INFO: sampling resolution changed on schedule "
+                            f"==> c {cfg.n_coarse} f {cfg.n_fine}"
+                        )
+                    self.train_step, self.eval_step = self._steps_for(cfg)
                 self.state, metrics = self.train_step(
                     self.state, batch, self._next_key()
                 )
