@@ -42,7 +42,11 @@ def run_map(args, dset):
         obj_dir = os.path.join(args.output, obj_name)
         if not os.path.isdir(obj_dir):
             continue
-        pngs = sorted(glob.glob(os.path.join(obj_dir, "[0-9]*.png")))
+        pngs = sorted(
+            p
+            for p in glob.glob(os.path.join(obj_dir, "*.png"))
+            if os.path.splitext(os.path.basename(p))[0].isdigit()
+        )
         psnrs, ssims, lpipss = [], [], []
         for png in pngs:
             view = int(os.path.splitext(os.path.basename(png))[0])

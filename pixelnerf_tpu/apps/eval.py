@@ -36,6 +36,11 @@ def extra_args(parser):
     parser.add_argument("--multicat", action="store_true")
     parser.add_argument("--output", "-O", type=str, default="eval_out")
     parser.add_argument("--write_depth", action="store_true")
+    parser.add_argument("--write_compare", action="store_true",
+                        help="also write side-by-side [gt | render] images")
+    parser.add_argument("--coarse", action="store_true",
+                        help="render coarse-only with a 64/128 sample "
+                        "hierarchy (reference eval.py:139-148)")
     parser.add_argument("--limit", type=int, default=None,
                         help="evaluate at most N objects (smoke runs)")
     parser.add_argument("--no_mesh", action="store_true")
@@ -78,6 +83,12 @@ def main(argv=None):
         lindisp=getattr(dset, "lindisp", False),
         eval_batch_size=args.ray_batch_size,
     )
+    if args.coarse:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, n_coarse=64 if cfg.n_fine > 0 else 128, n_fine=0, n_fine_depth=0
+        )
 
     source = np.array([int(x) for x in args.source.split()])
     viewlist = {}
@@ -186,6 +197,12 @@ def main(argv=None):
                 os.path.join(obj_dir, f"{view:06d}.png"),
                 (pred * 255).astype(np.uint8),
             )
+            if args.write_compare:
+                compare = np.concatenate([gt, pred], axis=1)
+                imageio.imwrite(
+                    os.path.join(obj_dir, f"{view:06d}_compare.png"),
+                    (np.clip(compare, 0, 1) * 255).astype(np.uint8),
+                )
             if args.write_depth:
                 np.save(os.path.join(obj_dir, f"{view:06d}_depth.npy"), depth_all[ti])
         n = len(target_views)

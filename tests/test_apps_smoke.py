@@ -1,0 +1,102 @@
+"""End-to-end CLI smoke: train -> checkpoint -> eval_approx -> eval ->
+gen_video -> recon on the synthetic dataset with a tiny overridden model."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+TINY = [
+    "--override", "model.mlp_coarse.d_hidden=32",
+    "--override", "model.mlp_fine.type=empty",
+    "--override", "model.encoder.num_layers=2",
+    "--override", "renderer.n_coarse=8",
+    "--override", "renderer.n_fine=0",
+]
+CONF = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "conf", "exp", "sn64.conf",
+)
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    wd = tmp_path_factory.mktemp("apps")
+    old = os.getcwd()
+    os.chdir(wd)
+    yield str(wd)
+    os.chdir(old)
+
+
+def test_train_cli(workdir):
+    from pixelnerf_tpu.apps import train
+
+    train.main(
+        ["-n", "smoke", "-c", CONF, "-F", "synthetic", "-B", "1", "-V", "1",
+         "-R", "32", "--epochs", "1", "--epoch_batches", "4", "--no_mesh",
+         "--override", "train.eval_interval=1000",
+         "--override", "train.vis_interval=1000",
+         "--override", "train.save_interval=3"] + TINY
+    )
+    assert os.path.exists(
+        os.path.join(workdir, "checkpoints", "smoke", "train_state.msgpack")
+    )
+
+
+def test_eval_approx_cli(workdir):
+    from pixelnerf_tpu.apps import eval_approx
+
+    result = eval_approx.main(
+        ["-n", "smoke", "-c", CONF, "-F", "synthetic", "-P", "0", "-R", "1024",
+         "--limit", "1", "--no_mesh"] + TINY
+    )
+    assert result is not None
+    psnr, ssim = result
+    assert np.isfinite(psnr) and 0.0 < ssim <= 1.0
+
+
+def test_eval_cli_with_resume(workdir):
+    from pixelnerf_tpu.apps import eval as eval_app
+
+    args = ["-n", "smoke", "-c", CONF, "-F", "synthetic", "-P", "0",
+            "-R", "2048", "--limit", "1", "-O", "eval_out", "--no_mesh"] + TINY
+    eval_app.main(args)
+    finish = os.path.join(workdir, "eval_out", "finish.txt")
+    assert os.path.exists(finish)
+    lines1 = open(finish).read().strip().splitlines()
+    assert len(lines1) == 1
+    # resume: second invocation skips the finished object (no new lines)
+    eval_app.main(args)
+    lines2 = open(finish).read().strip().splitlines()
+    assert lines2 == lines1
+    # rendered views on disk
+    obj_dir = os.path.join(workdir, "eval_out", lines1[0].split()[0])
+    assert len([f for f in os.listdir(obj_dir) if f.endswith(".png")]) >= 3
+
+
+def test_gen_video_cli(workdir):
+    from pixelnerf_tpu.apps import gen_video
+
+    frames = gen_video.main(
+        ["-n", "smoke", "-c", CONF, "-F", "synthetic", "-P", "0",
+         "--subset", "0", "--num_views", "2", "-R", "2048", "-O", "video_out",
+         "--no_mesh"] + TINY
+    )
+    assert len(frames) == 2
+    out = os.listdir(os.path.join(workdir, "video_out"))
+    assert any(f.endswith((".mp4", ".gif")) for f in out)
+    assert any(f.endswith("_src.png") for f in out)
+
+
+def test_recon_cli(workdir):
+    from pixelnerf_tpu.apps import recon
+
+    recon.main(
+        ["-n", "smoke", "-c", CONF, "-F", "synthetic", "--subset", "0",
+         "--reso", "24", "--isosurface", "2.0", "-O", "mesh_out"] + TINY
+    )
+    objs = [f for f in os.listdir(os.path.join(workdir, "mesh_out"))
+            if f.endswith(".obj")]
+    assert objs
+    text = open(os.path.join(workdir, "mesh_out", objs[0])).read()
+    assert text.count("\nv ") + text.startswith("v ") >= 0  # parses as obj
