@@ -6,8 +6,6 @@ regression test of the reference workflow.
 """
 from __future__ import annotations
 
-import os
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -15,7 +13,6 @@ import numpy as np
 from ..config import ConfigNode
 from ..data import get_split_dataset
 from ..eval.common import FullRenderer
-from ..models import make_model
 from ..parallel.mesh import make_mesh
 from ..render.renderer import RenderConfig
 from ..utils import geometry, metrics

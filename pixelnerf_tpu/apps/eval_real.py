@@ -18,7 +18,6 @@ import numpy as np
 
 from ..config import ConfigNode
 from ..eval.common import FullRenderer
-from ..models import make_model
 from ..parallel.mesh import make_mesh
 from ..render.renderer import RenderConfig
 from ..utils import geometry
@@ -79,11 +78,15 @@ def main(argv=None):
     import imageio.v2 as imageio
 
     os.makedirs(args.output, exist_ok=True)
-    # orbit in blender-ish coords converted to ours (reference eval_real.py:100-107)
-    trans = geometry.coord_to_blender() @ geometry.coord_from_blender()
+    # spherical orbit poses converted from blender coords
+    # (reference eval_real.py:95-106)
+    from_blender = geometry.coord_from_blender()
     angles = np.linspace(-180, 180, args.num_views + 1)[:-1]
     render_poses = np.stack(
-        [geometry.pose_spherical(a, args.elevation, args.radius) for a in angles]
+        [
+            from_blender @ geometry.pose_spherical(a, args.elevation, args.radius)
+            for a in angles
+        ]
     )
 
     rng = jax.random.PRNGKey(args.seed)

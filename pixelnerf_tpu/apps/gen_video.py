@@ -17,7 +17,6 @@ import numpy as np
 from ..config import ConfigNode
 from ..data import get_split_dataset
 from ..eval.common import FullRenderer
-from ..models import make_model
 from ..parallel.mesh import make_mesh
 from ..render.renderer import RenderConfig
 from ..utils import geometry

@@ -12,9 +12,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import ConfigNode
 from ..data import get_split_dataset
-from ..models import make_model
 from ..utils.recon import marching_cubes, save_obj
 from .args import parse_args
 from .eval import load_net_and_state

@@ -10,8 +10,6 @@ Supports the synthetic fixture dataset out of the box:
 """
 from __future__ import annotations
 
-import os
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -109,7 +107,9 @@ def main(argv=None):
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(variables["params"]))
     print(f"Model parameters: {n_params/1e6:.2f}M; d_in={net.d_in} d_latent={net.d_latent}")
 
-    vis_renderer = FullRenderer(net, render_cfg, mesh=mesh, ray_chunk=args.ray_batch_size * 64)
+    # modest chunk: full-frame vis at f32 with multi-view conditioning is the
+    # memory high-water mark (activations scale with NS * chunk * samples)
+    vis_renderer = FullRenderer(net, render_cfg, mesh=mesh, ray_chunk=1024)
     vis_dset = test_dset if test_dset is not None and len(test_dset) > 0 else train_dset
 
     def vis_step(state, rng, epoch, batch_idx):

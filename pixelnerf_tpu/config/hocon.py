@@ -17,7 +17,7 @@ from __future__ import annotations
 import ast
 import os
 import re
-from typing import Any, Iterator, List, Optional, Tuple
+from typing import Any, Iterator, Optional, Tuple
 
 
 class ConfigNode(dict):

@@ -7,7 +7,6 @@ NameError (model_util.py:8); here ImplicitNet is wired up properly.
 """
 from __future__ import annotations
 
-import math
 from typing import Optional
 
 from ..config import ConfigNode

@@ -8,11 +8,10 @@ are gathered, mirroring ``simple_output`` (nerf.py:363).
 """
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from ..render.renderer import RenderConfig, render_rays, render_rays_chunked
 from .mesh import ray_sharding, replicate

@@ -106,12 +106,13 @@ class Trainer:
         self.rng = jax.random.PRNGKey(seed)
 
         self.writer = None
-        try:
-            from torch.utils.tensorboard import SummaryWriter
+        if os.environ.get("PIXELNERF_NO_TB") != "1":
+            try:
+                from torch.utils.tensorboard import SummaryWriter
 
-            self.writer = SummaryWriter(os.path.join(out_dir, "logs", name))
-        except Exception:
-            pass
+                self.writer = SummaryWriter(os.path.join(out_dir, "logs", name))
+            except Exception:
+                pass
 
     def _steps_for(self, cfg: RenderConfig):
         """Compiled (train_step, eval_step) for a render config, cached —
@@ -146,11 +147,16 @@ class Trainer:
                 self.writer.add_scalar(f"{tag}/{k}", float(v), step)
 
     def start(self):
+        import os as _os
+
+        _time_loop = _os.environ.get("PIXELNERF_TIME_LOOP") == "1"
+        _bare = _os.environ.get("PIXELNERF_BARE_LOOP") == "1"
         train_iter = iter(self.train_pipeline)
         test_iter = iter(self.test_pipeline) if self.test_pipeline else None
         t_last = time.time()
         for epoch in range(self.num_epochs):
             for batch_idx in range(self.epoch_batches * self.num_epoch_repeats):
+                _t0 = time.time()
                 batch = next(train_iter)
                 batch = {k: v for k, v in batch.items() if k != "step"}
                 if self.mesh is not None:
@@ -165,11 +171,20 @@ class Trainer:
                             f"==> c {cfg.n_coarse} f {cfg.n_fine}"
                         )
                     self.train_step, self.eval_step = self._steps_for(cfg)
+                _t1 = time.time()
                 self.state, metrics = self.train_step(
                     self.state, batch, self._next_key()
                 )
+                _t2 = time.time()
                 step = int(self.state.step)
+                if _time_loop:
+                    print(
+                        f"[time] data {_t1-_t0:.3f}s dispatch {_t2-_t1:.3f}s "
+                        f"sync {time.time()-_t2:.3f}s"
+                    )
 
+                if _bare:
+                    continue
                 if batch_idx % self.print_interval == 0:
                     metrics = {k: float(v) for k, v in metrics.items()}
                     dt = time.time() - t_last
