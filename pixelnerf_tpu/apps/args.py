@@ -47,6 +47,8 @@ def parse_args(
                         help="ray-axis size of the device mesh")
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="dump a TensorBoard-viewable XLA trace here")
+    parser.add_argument("--debug_nans", action="store_true",
+                        help="enable jax NaN checking (aborts on first NaN)")
     parser.add_argument(
         "--override", action="append", default=[], metavar="KEY=VALUE",
         help="config override, e.g. --override model.mlp_coarse.d_hidden=64",
@@ -92,5 +94,10 @@ def parse_args(
 
     if args.dataset_format is None:
         args.dataset_format = conf.get_string("data.format", "dvr")
+
+    if args.debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
 
     return args, conf

@@ -21,7 +21,7 @@ from ..eval.common import FullRenderer
 from ..models import make_model
 from ..parallel.mesh import make_mesh
 from ..render.renderer import RenderConfig
-from ..train.state import TrainState, load_checkpoint
+from ..train.state import load_variables
 from ..utils import geometry, metrics
 from .args import parse_args
 
@@ -53,15 +53,13 @@ def load_net_and_state(args, conf, sample_batch_fn):
     variables = sample_batch_fn(net)
     ckpt_dir = os.path.join(args.checkpoints_path, args.name)
     torch_path = os.path.join(ckpt_dir, "pixel_nerf_latest")
-    state = TrainState(
-        params=variables["params"],
-        batch_stats=variables.get("batch_stats", {}),
-        opt_state=(), step=jnp.zeros((), jnp.int32),
-    )
-    restored = load_checkpoint(ckpt_dir, state)
+    restored = load_variables(ckpt_dir)
     if restored is not None:
-        print(f"Loaded checkpoint at step {int(restored.step)} from {ckpt_dir}")
-        return net, restored.variables
+        step = restored.pop("step", 0)
+        import numpy as _np
+
+        print(f"Loaded checkpoint at step {int(_np.asarray(step))} from {ckpt_dir}")
+        return net, restored
     if os.path.exists(torch_path):
         from ..models.torch_import import load_torch_checkpoint
 

@@ -66,6 +66,28 @@ def load_checkpoint(ckpt_dir: str, template: TrainState) -> Optional[TrainState]
     return None
 
 
+def load_variables(ckpt_dir: str) -> Optional[dict]:
+    """Structure-free restore of model variables + step for inference/eval.
+
+    Unlike :func:`load_checkpoint`, this does not need a matching optimizer
+    state template (eval apps have no optimizer) — it decodes the raw
+    msgpack tree and returns {'params', 'batch_stats'?, 'step'}."""
+    path = os.path.join(ckpt_dir, CKPT_NAME)
+    for candidate in (path, path + BACKUP_SUFFIX):
+        if not os.path.exists(candidate):
+            continue
+        try:
+            with open(candidate, "rb") as f:
+                raw = flax.serialization.msgpack_restore(f.read())
+            out = {"params": raw["params"], "step": raw.get("step", 0)}
+            if raw.get("batch_stats"):
+                out["batch_stats"] = raw["batch_stats"]
+            return out
+        except Exception as e:
+            print(f"WARNING: failed to load {candidate}: {e}")
+    return None
+
+
 def export_torch_checkpoint(state: TrainState, path: str) -> None:
     """Write model weights as a reference-compatible torch state_dict."""
     from ..models.torch_import import export_state_dict

@@ -129,6 +129,34 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+def test_load_variables_without_optimizer_template(tmp_path):
+    """Eval apps restore params without knowing the optimizer structure
+    (regression: a mismatched opt_state template used to silently fall back
+    to a random-init model)."""
+    from pixelnerf_tpu.train.state import load_variables
+
+    net, cfg, loss_fn, conf = _build()
+    variables = net.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 1, 16, 16, 3)), jnp.eye(4)[None, None],
+        jnp.asarray(20.0), jnp.zeros((1, 4, 3)), jnp.ones((1, 4, 3)),
+    )
+    optimizer = optax.adam(1e-4)
+    state = TrainState(
+        params=variables["params"], batch_stats=variables.get("batch_stats", {}),
+        opt_state=optimizer.init(variables["params"]), step=jnp.asarray(42),
+    )
+    save_checkpoint(str(tmp_path), state)
+    restored = load_variables(str(tmp_path))
+    assert restored is not None
+    assert int(np.asarray(restored["step"])) == 42
+    a = jax.tree_util.tree_leaves(jax.device_get(state.params))
+    b = jax.tree_util.tree_leaves(restored["params"])
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    assert "batch_stats" in restored
+
+
 def test_corrupt_checkpoint_falls_back_to_backup(tmp_path):
     net, cfg, loss_fn, conf = _build()
     variables = net.init(
