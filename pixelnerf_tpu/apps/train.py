@@ -47,14 +47,20 @@ def main(argv=None):
     )
     views = tuple(int(v) for v in args.nviews.split())
 
-    dset_kwargs = {}
+    # extra dataset constructor kwargs from the data config subtree
+    # (e.g. --override data.num_objects=64 for the synthetic set)
+    dset_kwargs = {
+        k: v
+        for k, v in (conf.get("data") or {}).items()
+        if k not in ("format",)
+    }
     train_dset = get_split_dataset(
         args.dataset_format, args.datadir, want_split="train", **dset_kwargs
     )
     try:
         test_dset = get_split_dataset(
             args.dataset_format, args.datadir, want_split="val",
-            training=False, **dset_kwargs
+            training=False, **dset_kwargs,
         )
     except Exception:
         test_dset = None
