@@ -76,6 +76,7 @@ class RayBatchPipeline:
         fixed_source_views: Optional[Sequence[int]] = None,
         seed: int = 0,
         prefetch: int = 2,
+        workers: int = 4,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -85,6 +86,7 @@ class RayBatchPipeline:
         self.fixed_source_views = fixed_source_views
         self.rng = np.random.default_rng(seed)
         self.prefetch = prefetch
+        self.workers = workers
         self.step = 0
 
     # -- single-object batch entry ------------------------------------------
@@ -125,12 +127,42 @@ class RayBatchPipeline:
         }
 
     def _object_stream(self):
+        """Shuffled epoch stream of object dicts.
+
+        Objects are fetched by a small thread pool with bounded lookahead —
+        real datasets decode ~50 images per object (the reference used 8
+        DataLoader workers; trainer.py:16-29), and a single-threaded fetch
+        would starve the accelerator."""
         n = len(self.dataset)
-        while True:
-            order = self.rng.permutation(n)
-            for i in order:
+
+        def indices():
+            while True:
+                yield from self.rng.permutation(n)
+
+        if self.workers <= 1:
+            for i in indices():
                 data = self.dataset[int(i)]
                 if data:  # skip malformed-scene sentinel {}
+                    yield data
+            return
+
+        import concurrent.futures as cf
+
+        idx_iter = indices()
+        with cf.ThreadPoolExecutor(max_workers=self.workers) as pool:
+            pending = [
+                pool.submit(self.dataset.__getitem__, int(next(idx_iter)))
+                for _ in range(self.workers * 2)
+            ]
+            k = 0
+            while True:
+                fut = pending[k % len(pending)]
+                data = fut.result()
+                pending[k % len(pending)] = pool.submit(
+                    self.dataset.__getitem__, int(next(idx_iter))
+                )
+                k += 1
+                if data:
                     yield data
 
     def batches(self):
