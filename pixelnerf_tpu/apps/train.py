@@ -115,7 +115,9 @@ def main(argv=None):
 
     # modest chunk: full-frame vis at f32 with multi-view conditioning is the
     # memory high-water mark (activations scale with NS * chunk * samples)
-    vis_renderer = FullRenderer(net, render_cfg, mesh=mesh, ray_chunk=1024)
+    vis_renderer = FullRenderer(
+        net, render_cfg, mesh=mesh, ray_chunk=1024, want_weights=True
+    )
     vis_dset = test_dset if test_dset is not None and len(test_dset) > 0 else train_dset
 
     def vis_step(state, rng, epoch, batch_idx):
@@ -140,14 +142,33 @@ def main(argv=None):
             jnp.asarray(d["focal"]), vis_dset.z_near, vis_dset.z_far,
             c=jnp.asarray(d.get("c")) if "c" in d else None,
         ))[0]
-        rgb, depth = vis_renderer.render_image(variables, enc, rays, rng)
+        out = vis_renderer(variables, enc, rays.reshape(-1, 8), rng)
         gt = d["images"][target] * 0.5 + 0.5
-        psnr = metrics.psnr(rgb, gt)
         src_img = d["images"][src[0]] * 0.5 + 0.5
-        vis = np.concatenate(
-            [src_img, gt, depth_cmap(depth, vis_dset.z_near, vis_dset.z_far), rgb],
-            axis=1,
-        )
+
+        # reference vis layout (train/train.py:300-329): one row per pass,
+        # columns [source | gt | depth cmap | rgb | alpha]
+        rows = []
+        psnr = None
+        for phase in ("coarse", "fine"):
+            if phase not in out:
+                continue
+            rgb = np.clip(out[phase]["rgb"].reshape(H, W, 3), 0, 1)
+            depth = out[phase]["depth"].reshape(H, W)
+            alpha = out[phase]["weights"].sum(-1).reshape(H, W)
+            rows.append(
+                np.concatenate(
+                    [
+                        src_img, gt,
+                        depth_cmap(depth, vis_dset.z_near, vis_dset.z_far),
+                        rgb,
+                        np.repeat(np.clip(alpha, 0, 1)[..., None], 3, -1),
+                    ],
+                    axis=1,
+                )
+            )
+            psnr = metrics.psnr(rgb, gt)  # fine overwrites coarse
+        vis = np.concatenate(rows, axis=0)
         print(f"*** vis psnr {psnr:.2f}")
         return vis, {"psnr": psnr}
 
