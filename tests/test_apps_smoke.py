@@ -88,6 +88,34 @@ def test_gen_video_cli(workdir):
     assert any(f.endswith("_src.png") for f in out)
 
 
+def test_preproc_and_eval_real_cli(workdir):
+    """Real-image pipeline: raw photo -> GrabCut preproc -> orbit render."""
+    import imageio.v2 as imageio
+    from pixelnerf_tpu.data import SyntheticSphereDataset
+    from pixelnerf_tpu.apps import eval_real, preproc
+
+    ds = SyntheticSphereDataset(num_objects=1, num_views=1, image_size=(96, 96))
+    raw_dir = os.path.join(workdir, "raw")
+    os.makedirs(raw_dir, exist_ok=True)
+    img = ((ds[0]["images"][0] * 0.5 + 0.5) * 255).astype(np.uint8)
+    imageio.imwrite(os.path.join(raw_dir, "photo.png"), img)
+
+    preproc.main(["--input", raw_dir, "--output", os.path.join(workdir, "input"),
+                  "--size", "32", "--backend", "grabcut"])
+    norm = os.path.join(workdir, "input", "photo_normalize.png")
+    assert os.path.exists(norm)
+    out = imageio.imread(norm)
+    assert out.shape == (32, 32, 3)
+
+    eval_real.main(
+        ["-n", "smoke", "-c", CONF, "--input", os.path.join(workdir, "input"),
+         "-O", os.path.join(workdir, "real_out"), "--size", "32",
+         "--num_views", "2", "-R", "1024", "--no_mesh"] + TINY
+    )
+    outs = os.listdir(os.path.join(workdir, "real_out"))
+    assert any(f.startswith("photo_normalize") for f in outs)
+
+
 def test_recon_cli(workdir):
     from pixelnerf_tpu.apps import recon
 

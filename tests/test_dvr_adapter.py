@@ -69,6 +69,60 @@ def test_dvr_shapenet_roundtrip(tmp_path):
     assert len(val) == 1 and val.all_objs[0][1] != dset.all_objs[0][1]
 
 
+def _write_dtu_fixture(root, num_views=4, size=20):
+    """DTU sub-format: cameras.npz holds P = K [R | t] projection matrices."""
+    import imageio.v2 as imageio
+
+    ds = SyntheticSphereDataset(num_objects=1, num_views=num_views,
+                                image_size=(size, size))
+    d = ds[0]
+    scan = os.path.join(root, "scan1", "objA")
+    os.makedirs(os.path.join(scan, "image"))
+    os.makedirs(os.path.join(scan, "mask"))
+    F = np.diag([1.0, -1.0, -1.0, 1.0]).astype(np.float32)[:3, :3]
+    fx = fy = float(d["focal"])
+    cx = cy = size / 2.0
+    K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]], np.float32)
+    cams = {}
+    flip4 = np.diag([1.0, -1.0, -1.0, 1.0]).astype(np.float32)
+    for v in range(num_views):
+        img = ((d["images"][v] * 0.5 + 0.5) * 255).astype(np.uint8)
+        imageio.imwrite(os.path.join(scan, "image", f"{v:04d}.png"), img)
+        imageio.imwrite(
+            os.path.join(scan, "mask", f"{v:04d}.png"),
+            (d["masks"][v, ..., 0] * 255).astype(np.uint8),
+        )
+        # adapter: decompose P -> c2w, then FLIP @ pose @ FLIP; invert that
+        target = d["poses"][v]
+        pose = flip4 @ target @ flip4              # pre-flip c2w
+        R_w2c = pose[:3, :3].T
+        t = -R_w2c @ pose[:3, 3]
+        P = K @ np.concatenate([R_w2c, t[:, None]], axis=1)
+        cams[f"world_mat_{v}"] = P.astype(np.float32)
+    np.savez(os.path.join(scan, "cameras.npz"), **cams)
+    with open(os.path.join(root, "scan1", "new_train.lst"), "w") as f:
+        f.write("objA\n")
+    return ds
+
+
+def test_dvr_dtu_roundtrip(tmp_path):
+    src = _write_dtu_fixture(str(tmp_path))
+    dset = DVRDataset(
+        str(tmp_path), stage="train", list_prefix="new_", sub_format="dtu",
+        scale_focal=False, z_near=0.1, z_far=5.0,
+    )
+    d = dset[0]
+    ref = src[0]
+    np.testing.assert_allclose(d["poses"], ref["poses"], atol=1e-3)
+    # averaged intrinsics come back as (2,) focal and principal point
+    np.testing.assert_allclose(
+        np.asarray(d["focal"]), [float(ref["focal"])] * 2, rtol=1e-4
+    )
+    np.testing.assert_allclose(np.asarray(d["c"]), [10.0, 10.0], atol=1e-3)
+    assert "bbox" not in d  # dtu path discards bboxes (reference :238)
+    assert dset.z_near == 0.1 and dset.z_far == 5.0
+
+
 def test_dvr_factory_flags():
     from pixelnerf_tpu.data import get_split_dataset
 
