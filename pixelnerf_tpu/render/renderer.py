@@ -224,10 +224,12 @@ def render_rays(
         if cfg.n_fine - cfg.n_fine_depth > 0:
             all_samps.append(sample_fine(k_fine, rays, coarse_out["weights"], cfg))
         if cfg.n_fine_depth > 0:
+            # NOTE: the reference does NOT detach the expected depth here
+            # (nerf.py:292) — unlike the importance weights — so fine-pass
+            # gradients flow into the coarse pass through the depth-jittered
+            # sample positions; preserved for training parity.
             all_samps.append(
-                sample_fine_depth(
-                    k_depth, rays, jax.lax.stop_gradient(coarse_out["depth"]), cfg
-                )
+                sample_fine_depth(k_depth, rays, coarse_out["depth"], cfg)
             )
         z_combine = jnp.sort(jnp.concatenate(all_samps, axis=-1), axis=-1)
         fine_out = composite(
