@@ -69,8 +69,13 @@ class Trainer:
         os.makedirs(self.visual_dir, exist_ok=True)
 
         self.gamma = gamma
+        # per-epoch ExponentialLR semantics (reference trainer.py:49-54):
+        # staircase so the rate changes once per epoch, not continuously
         schedule = (
-            optax.exponential_decay(lr, transition_steps=epoch_batches, decay_rate=gamma)
+            optax.exponential_decay(
+                lr, transition_steps=epoch_batches, decay_rate=gamma,
+                staircase=True,
+            )
             if gamma != 1.0
             else lr
         )
