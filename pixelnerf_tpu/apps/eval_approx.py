@@ -25,6 +25,9 @@ def extra_args(parser):
     parser.add_argument("--source", "-P", type=str, default="64")
     parser.add_argument("--seed", type=int, default=1234)
     parser.add_argument("--limit", type=int, default=None)
+    parser.add_argument("--batch_size", "-B", type=int, default=4,
+                        help="objects rendered per device batch "
+                        "(the reference evaluates SB=4 objects at once)")
     parser.add_argument("--no_mesh", action="store_true")
 
 
@@ -61,37 +64,54 @@ def main(argv=None):
     total_psnr = total_ssim = 0.0
     cnt = 0
     n_objs = len(dset) if args.limit is None else min(args.limit, len(dset))
-    for obj_idx in range(n_objs):
-        data = dset[obj_idx]
-        if not data:
-            continue
-        NV = data["images"].shape[0]
-        src = source[source < NV]
-        choices = [v for v in range(NV) if v not in set(src.tolist())]
-        target = int(rng_np.choice(choices))
-        c_arr = data.get("c", np.array([W / 2.0, H / 2.0], np.float32))
-        enc = net.apply(
-            variables, jnp.asarray(data["images"][None, src]),
-            jnp.asarray(data["poses"][None, src]), jnp.asarray(data["focal"]),
-            c=jnp.asarray(c_arr[None]), method=net.encode,
-        )
-        rays = np.asarray(
-            geometry.gen_rays(
-                jnp.asarray(data["poses"][target : target + 1]), W, H,
-                jnp.asarray(data["focal"]), dset.z_near, dset.z_far,
-                c=jnp.asarray(c_arr),
-            )
-        )[0]
+
+    def object_entries():
+        """(data, src, target, c) per valid object, with the seeded
+        per-object target choice drawn in dataset order."""
+        for obj_idx in range(n_objs):
+            data = dset[obj_idx]
+            if not data:
+                continue
+            NV = data["images"].shape[0]
+            src = source[source < NV]
+            choices = [v for v in range(NV) if v not in set(src.tolist())]
+            target = int(rng_np.choice(choices))
+            c_arr = data.get("c", np.array([W / 2.0, H / 2.0], np.float32))
+            yield data, src, target, c_arr
+
+    # batch SB objects per render (groups have identical shapes per batch)
+    entries = list(object_entries())
+    for gi in range(0, len(entries), args.batch_size):
+        group = entries[gi : gi + args.batch_size]
+        images = jnp.asarray(np.stack([d["images"][s] for d, s, _, _ in group]))
+        poses = jnp.asarray(np.stack([d["poses"][s] for d, s, _, _ in group]))
+        focal = jnp.asarray(np.stack([np.broadcast_to(
+            np.atleast_1d(np.asarray(d["focal"], np.float32)), (2,)
+        ) for d, _, _, _ in group]))
+        c = jnp.asarray(np.stack([ca for _, _, _, ca in group]))
+        enc = net.apply(variables, images, poses, focal, c=c, method=net.encode)
+        rays = np.stack([
+            np.asarray(geometry.gen_rays(
+                jnp.asarray(d["poses"][t : t + 1]), W, H,
+                jnp.asarray(d["focal"]), dset.z_near, dset.z_far,
+                c=jnp.asarray(ca),
+            ))[0].reshape(-1, 8)
+            for d, _, t, ca in group
+        ])  # (SB, H*W, 8)
         rng, key = jax.random.split(rng)
-        rgb, _depth = renderer.render_image(variables, enc, rays, key)
-        gt = data["images"][target] * 0.5 + 0.5
-        p = metrics.psnr(np.clip(rgb, 0, 1), gt)
-        s = metrics.ssim(np.clip(rgb, 0, 1), gt, data_range=1.0)
-        total_psnr += p
-        total_ssim += s
-        cnt += 1
-        print(f"[{obj_idx+1}/{n_objs}] psnr {p:.3f} ssim {s:.4f} "
-              f"| running {total_psnr/cnt:.3f} / {total_ssim/cnt:.4f}")
+        out = renderer.render_batch(variables, enc, rays, key)
+        branch = out["fine"] if cfg.using_fine else out["coarse"]
+        rgbs = branch["rgb"].reshape(len(group), H, W, 3)
+        for k, (d, _, t, _) in enumerate(group):
+            rgb = np.clip(rgbs[k], 0, 1)
+            gt = d["images"][t] * 0.5 + 0.5
+            p = metrics.psnr(rgb, gt)
+            s = metrics.ssim(rgb, gt, data_range=1.0)
+            total_psnr += p
+            total_ssim += s
+            cnt += 1
+            print(f"[{cnt}/{len(entries)}] psnr {p:.3f} ssim {s:.4f} "
+                  f"| running {total_psnr/cnt:.3f} / {total_ssim/cnt:.4f}")
     if cnt:
         print(f"APPROX FINAL psnr {total_psnr/cnt:.4f} ssim {total_ssim/cnt:.4f}")
         return total_psnr / cnt, total_ssim / cnt

@@ -64,24 +64,30 @@ class FullRenderer:
     def __call__(self, variables, enc, rays, rng) -> dict:
         """:param rays: (NR, 8) host or device array
         :return: dict of numpy arrays {'coarse': {'rgb': (NR, 3), ...}, ...}"""
+        out = self.render_batch(variables, enc, np.asarray(rays)[None], rng)
+        return jax.tree_util.tree_map(lambda x: x[0], out)
+
+    def render_batch(self, variables, enc, rays, rng) -> dict:
+        """Batched-object render: rays (SB, NR, 8) against an SB-object
+        encoding -> dict of numpy arrays with leading (SB, NR) dims."""
         rays = np.asarray(rays, np.float32)
-        NR = rays.shape[0]
+        SB, NR, _ = rays.shape
         chunk = self.ray_chunk
         outs = []
         for start in range(0, NR, chunk):
-            part = rays[start : start + chunk]
-            n = part.shape[0]
+            part = rays[:, start : start + chunk]
+            n = part.shape[1]
             if n < chunk:
                 part = np.concatenate(
-                    [part, np.repeat(part[-1:], chunk - n, axis=0)], axis=0
+                    [part, np.repeat(part[:, -1:], chunk - n, axis=1)], axis=1
                 )
             rng, key = jax.random.split(rng)
-            out = self._render(variables, enc, self._place(part[None]), key)
+            out = self._render(variables, enc, self._place(part), key)
             out = jax.device_get(out)
-            out = jax.tree_util.tree_map(lambda x: x[0, :n], out)
+            out = jax.tree_util.tree_map(lambda x: x[:, :n], out)
             outs.append(out)
         return jax.tree_util.tree_map(
-            lambda *xs: np.concatenate(xs, axis=0), *outs
+            lambda *xs: np.concatenate(xs, axis=1), *outs
         )
 
     def render_image(
