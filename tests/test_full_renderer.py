@@ -51,8 +51,9 @@ def test_chunk_padding():
         assert out["coarse"]["rgb"].shape == (256, 3)
         assert out["coarse"]["depth"].shape == (256,)
         assert np.isfinite(out["coarse"]["rgb"]).all()
+        # expected depth = sum(w*z) can fall below near when sum(w) < 1
         d = out["coarse"]["depth"]
-        assert d.min() >= 1.0 - 1e-5 and d.max() <= 3.0 + 1e-5
+        assert d.min() >= 0.0 and d.max() <= 3.0 + 1e-5
 
 
 def test_render_batch_shapes_and_sanity():
