@@ -87,6 +87,9 @@ def main(argv=None):
             rays_per_object=args.ray_batch_size,
             views=views,
             no_bbox_step=args.no_bbox_step,
+            # --fixed_test: deterministic source views for the held-out
+            # batches (reference train.py fixed_test flag)
+            fixed_source_views=list(range(max(views))) if args.fixed_test else None,
             seed=args.seed + 1,
         )
         if test_dset is not None and len(test_dset) > 0
