@@ -110,7 +110,27 @@ def _parse_value(text: str) -> Any:
 
 
 def _strip(line: str) -> str:
-    return _COMMENT_RE.sub("", line).strip()
+    """Remove #/// comments, respecting quoted strings."""
+    if '"' not in line and "'" not in line:
+        return _COMMENT_RE.sub("", line).strip()
+    out = []
+    quote = None
+    i = 0
+    while i < len(line):
+        ch = line[i]
+        if quote:
+            out.append(ch)
+            if ch == quote:
+                quote = None
+        elif ch in "\"'":
+            quote = ch
+            out.append(ch)
+        elif ch == "#" or line[i : i + 2] == "//":
+            break
+        else:
+            out.append(ch)
+        i += 1
+    return "".join(out).strip()
 
 
 def _parse_lines(lines: Iterator[Tuple[int, str]], base_dir: str) -> ConfigNode:
