@@ -38,6 +38,11 @@ def extra_args(parser):
     parser.add_argument("--epoch_batches", type=int, default=1000)
     parser.add_argument("--no_mesh", action="store_true",
                         help="disable device-mesh sharding (single chip)")
+    parser.add_argument("--train_ray_chunk", type=int, default=None,
+                        help="scan the train render in microbatches of this "
+                        "many rays (bounds memory at large -R)")
+    parser.add_argument("--workers", type=int, default=4,
+                        help="dataset-loading threads in the input pipeline")
     parser.add_argument("--seed", type=int, default=0)
 
 
@@ -79,6 +84,7 @@ def main(argv=None):
         views=views,
         no_bbox_step=args.no_bbox_step,
         seed=args.seed,
+        workers=args.workers,
     )
     test_pipe = (
         RayBatchPipeline(
@@ -195,6 +201,7 @@ def main(argv=None):
         render_schedule=RenderSchedule.from_conf(
             conf.get_config("renderer", ConfigNode()), render_cfg
         ),
+        train_ray_chunk=args.train_ray_chunk,
         seed=args.seed,
     )
     with trace(args.profile_dir):

@@ -16,7 +16,7 @@ import jax
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..render.renderer import RenderConfig, render_rays
+from ..render.renderer import RenderConfig, render_rays, render_rays_chunked
 from .state import TrainState
 
 
@@ -27,6 +27,7 @@ def make_train_step(
     loss_fn,
     mesh: Optional[Mesh] = None,
     train_encoder: bool = True,
+    ray_chunk: Optional[int] = None,
 ):
     """Build ``step(state, batch, rng) -> (state, metrics)``, jitted.
 
@@ -62,10 +63,18 @@ def make_train_step(
                 method=net.query,
             )
 
-        outputs = render_rays(
-            query_fn, batch["rays"], rng, cfg, train=True,
-            use_viewdirs=net.use_viewdirs,
-        )
+        if ray_chunk is not None and batch["rays"].shape[1] > ray_chunk:
+            # scan over ray microbatches to bound activation memory at large
+            # per-object ray counts; gradients flow through the scan
+            outputs = render_rays_chunked(
+                query_fn, batch["rays"], rng, cfg, ray_chunk, train=True,
+                use_viewdirs=net.use_viewdirs,
+            )
+        else:
+            outputs = render_rays(
+                query_fn, batch["rays"], rng, cfg, train=True,
+                use_viewdirs=net.use_viewdirs,
+            )
         loss, metrics = loss_fn(outputs, batch["rgb_gt"])
         return loss, (new_stats, metrics)
 

@@ -44,6 +44,7 @@ class Trainer:
         resume: bool = False,
         vis_fn: Optional[Callable] = None,
         render_schedule=None,
+        train_ray_chunk=None,
         seed: int = 0,
     ):
         self.net = net
@@ -102,6 +103,7 @@ class Trainer:
         self.loss_fn = make_render_loss(loss_conf)
         self.render_schedule = render_schedule
         self.train_encoder = train_encoder
+        self.train_ray_chunk = train_ray_chunk
         self._step_cache = {}
         self.train_step = self._steps_for(render_cfg)[0]
         self.eval_step = self._steps_for(render_cfg)[1]
@@ -127,6 +129,7 @@ class Trainer:
                 make_train_step(
                     self.net, cfg, self.optimizer, self.loss_fn,
                     mesh=self.mesh, train_encoder=self.train_encoder,
+                    ray_chunk=self.train_ray_chunk,
                 ),
                 make_eval_step(self.net, cfg, self.loss_fn, mesh=self.mesh),
             )
