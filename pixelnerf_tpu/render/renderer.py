@@ -255,11 +255,15 @@ def render_rays_chunked(
     train: bool = False,
     want_weights: bool = False,
     use_viewdirs: bool = True,
+    remat: bool = False,
 ) -> Dict[str, Dict[str, jax.Array]]:
     """Memory-bounded render: ``lax.scan`` over fixed-size ray microbatches.
 
     Replaces the reference's Python chunking loop (nerf.py:195-216) with a
     compiled scan; B must be divisible by ray_chunk (callers pad).
+    ``remat=True`` rematerializes each chunk's forward in the backward pass —
+    without it the scan saves every chunk's activations and chunking does not
+    reduce training memory at all.
     """
     SB, B, _ = rays.shape
     assert B % ray_chunk == 0, f"B={B} not divisible by ray_chunk={ray_chunk}"
@@ -267,12 +271,17 @@ def render_rays_chunked(
     rays_chunks = rays.reshape(SB, n_chunks, ray_chunk, 8).transpose(1, 0, 2, 3)
     keys = jax.random.split(rng, n_chunks)
 
-    def body(_, inputs):
-        chunk_rays, key = inputs
-        out = render_rays(
+    def chunk_render(chunk_rays, key):
+        return render_rays(
             query_fn, chunk_rays, key, cfg, train, want_weights, use_viewdirs
         )
-        return None, out
+
+    if remat:
+        chunk_render = jax.checkpoint(chunk_render)
+
+    def body(_, inputs):
+        chunk_rays, key = inputs
+        return None, chunk_render(chunk_rays, key)
 
     _, outs = jax.lax.scan(body, None, (rays_chunks, keys))
     # outs leaves have shape (n_chunks, SB, chunk, ...) -> (SB, B, ...)

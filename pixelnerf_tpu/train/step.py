@@ -68,7 +68,7 @@ def make_train_step(
             # per-object ray counts; gradients flow through the scan
             outputs = render_rays_chunked(
                 query_fn, batch["rays"], rng, cfg, ray_chunk, train=True,
-                use_viewdirs=net.use_viewdirs,
+                use_viewdirs=net.use_viewdirs, remat=True,
             )
         else:
             outputs = render_rays(
