@@ -29,6 +29,18 @@ def rgb_loss_with_uncertainty(
     return jnp.mean(err / betas) + jnp.mean(jnp.log(betas))
 
 
+def rgb_loss_with_background(
+    pred: jax.Array, gt: jax.Array, lambda_bg: jax.Array, use_l1: bool = False
+) -> jax.Array:
+    """Background-weighted RGB loss (reference loss.py RGBWithBackground —
+    dead code there too; kept for inventory parity)."""
+    if use_l1:
+        err = jnp.mean(jnp.abs(pred - gt), axis=-1)
+    else:
+        err = jnp.mean((pred - gt) ** 2, axis=-1)
+    return jnp.mean(err / (1.0 + lambda_bg)) + jnp.mean(jnp.log(lambda_bg))
+
+
 def alpha_loss_nv2(
     alpha: jax.Array,
     lambda_alpha: float,
