@@ -116,6 +116,29 @@ def test_preproc_and_eval_real_cli(workdir):
     assert any(f.startswith("photo_normalize") for f in outs)
 
 
+def test_gen_video_spline_cli(workdir):
+    from pixelnerf_tpu.apps import gen_video
+
+    frames = gen_video.main(
+        ["-n", "smoke", "-c", CONF, "-F", "synthetic", "-P", "0",
+         "--subset", "0", "--num_views", "2", "-R", "2048", "--traj", "spline",
+         "-O", "video_spline_out", "--no_mesh"] + TINY
+    )
+    assert len(frames) == 2
+
+
+def test_export_torch_cli(workdir):
+    import torch
+    from pixelnerf_tpu.apps import export_torch
+
+    export_torch.main(["-n", "smoke"])
+    path = os.path.join(workdir, "checkpoints", "smoke", "pixel_nerf_latest")
+    assert os.path.exists(path)
+    sd = torch.load(path)
+    assert "encoder.model.conv1.weight" in sd
+    assert "mlp_coarse.lin_in.weight" in sd
+
+
 def test_recon_cli(workdir):
     from pixelnerf_tpu.apps import recon
 
