@@ -143,8 +143,11 @@ def _parse_lines(lines: Iterator[Tuple[int, str]], base_dir: str) -> ConfigNode:
             return node
         m = _INCLUDE_RE.match(line)
         if m:
+            # HOCON later-wins: the include overrides keys parsed before it;
+            # keys after the include override the included tree (they land
+            # via setitem / block-merge below).
             inc = load_config(os.path.join(base_dir, m.group(1)))
-            node = inc.merge(node) if not node else ConfigNode(inc).merge(node)
+            node.merge(inc)
             continue
         m = _BLOCK_RE.match(line)
         if m:

@@ -177,7 +177,9 @@ class RayBatchPipeline:
                 k: np.stack([e[k] for e in entries]) for k in entries[0]
             }
             batch["step"] = self.step
-            self.step += self.batch_size
+            # one optimizer step per batch (reference train.py compares
+            # global_step, which advances once per batch, to no_bbox_step)
+            self.step += 1
             yield batch
 
     def __iter__(self):

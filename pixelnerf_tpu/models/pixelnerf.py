@@ -46,8 +46,9 @@ class SceneEncoding:
     latent_quad: Optional[jax.Array] = None     # (SB*NS, Hl, Wl, 4C) corner map
 
 
-def _normalize_intrinsic(v, batch: int, name: str) -> jax.Array:
-    """Broadcast focal/c to (SB, 2) (reference models.py:119-141)."""
+def _normalize_intrinsic(v, batch: int, name: str, num_views: int = 1) -> jax.Array:
+    """Broadcast focal/c to (SB, 2) — or keep per-view (SB*NS, 2) inputs
+    (reference encode also accepts per-view intrinsics; models.py:119-141)."""
     v = jnp.asarray(v, dtype=jnp.float32)
     if v.ndim == 0:
         v = jnp.full((batch, 2), v)
@@ -55,7 +56,10 @@ def _normalize_intrinsic(v, batch: int, name: str) -> jax.Array:
         v = jnp.broadcast_to(v[:, None], (v.shape[0], 2))
     if v.shape[0] == 1 and batch > 1:
         v = jnp.broadcast_to(v, (batch, 2))
-    assert v.shape == (batch, 2), f"{name} must broadcast to (SB, 2), got {v.shape}"
+    ok_shapes = {(batch, 2), (batch * num_views, 2)}
+    assert v.shape in ok_shapes, (
+        f"{name} must broadcast to (SB, 2) or per-view (SB*NS, 2), got {v.shape}"
+    )
     return v
 
 
@@ -152,12 +156,12 @@ class PixelNeRFNet(nn.Module):
         w2c = invert_pose(poses.reshape(SB * NS, 4, 4))
         image_shape = jnp.array([W, H], dtype=jnp.float32)
 
-        focal = _normalize_intrinsic(focal, SB, "focal")
+        focal = _normalize_intrinsic(focal, SB, "focal", NS)
         focal = focal * jnp.array([1.0, -1.0])  # image y is down (models.py:130)
         if c is None:
             c = jnp.broadcast_to(image_shape * 0.5, (SB, 2))
         else:
-            c = _normalize_intrinsic(c, SB, "c")
+            c = _normalize_intrinsic(c, SB, "c", NS)
 
         global_latent = (
             self.global_encoder(images_flat, train=train)
@@ -221,8 +225,13 @@ class PixelNeRFNet(nn.Module):
 
         if self.use_encoder:
             uv = -xyz_cam[..., :2] / xyz_cam[..., 2:3]             # (SB*NS, B, 2)
-            focal = repeat_interleave(enc.focal, NS)
-            cc = repeat_interleave(enc.c, NS)
+            # intrinsics may already be per-view (SB*NS, 2)
+            focal = (
+                enc.focal
+                if enc.focal.shape[0] == SB * NS
+                else repeat_interleave(enc.focal, NS)
+            )
+            cc = enc.c if enc.c.shape[0] == SB * NS else repeat_interleave(enc.c, NS)
             uv = uv * focal[:, None, :] + cc[:, None, :]
             if enc.latent_quad is not None:
                 from ..models.encoder import latent_scaling

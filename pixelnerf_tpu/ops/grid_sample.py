@@ -9,8 +9,6 @@ This module implements those semantics (plus zeros/reflection padding and
 nearest mode for completeness) as pure XLA: four flat gathers + a lerp. XLA
 fuses the address arithmetic and the gathers are differentiable (the
 transpose is a scatter-add into the feature map, which training needs).
-A Pallas VMEM-resident kernel for the inference hot path lives in
-``grid_sample_pallas.py``.
 
 Layout is NHWC (TPU-native), not the reference's NCHW.
 """

@@ -72,9 +72,13 @@ class Trainer:
         self.gamma = gamma
         # per-epoch ExponentialLR semantics (reference trainer.py:49-54):
         # staircase so the rate changes once per epoch, not continuously
+        # an epoch is epoch_batches * num_epoch_repeats optimizer steps
+        # (the reference steps ExponentialLR once per epoch incl. repeats)
         schedule = (
             optax.exponential_decay(
-                lr, transition_steps=epoch_batches, decay_rate=gamma,
+                lr,
+                transition_steps=epoch_batches * self.num_epoch_repeats,
+                decay_rate=gamma,
                 staircase=True,
             )
             if gamma != 1.0
@@ -97,6 +101,10 @@ class Trainer:
             restored = load_checkpoint(self.ckpt_dir, self.state)
             if restored is not None:
                 self.state = restored
+                # keep the sampling curriculum (no_bbox_step) aligned with
+                # the restored optimizer step across restarts
+                if hasattr(train_pipeline, "step"):
+                    train_pipeline.step = int(restored.step)
                 print(f"Resumed from step {int(self.state.step)}")
 
         loss_conf = conf.get_config("loss", None) or ConfigNode()

@@ -76,3 +76,18 @@ def test_loads_shipped_confs():
     assert conf["renderer"].get_int("n_fine") == 32
     assert conf["model.code"].get_float("freq_factor") == 1.5
     assert conf["data"].get_string("format") == "dvr"
+
+
+def test_include_later_wins_order(tmp_path):
+    """HOCON order: include overrides keys before it; later keys override it."""
+    (tmp_path / "base.conf").write_text("a = 1\nblk {\n x = 10\n y = 20\n}\n")
+    (tmp_path / "child.conf").write_text(
+        "a = 0\n"
+        "blk {\n x = 5\n}\n"
+        'include required("base.conf")\n'
+        "blk {\n y = 99\n}\n"
+    )
+    conf = load_config(str(tmp_path / "child.conf"))
+    assert conf.get_int("a") == 1        # include beats pre-include key
+    assert conf["blk"].get_int("x") == 10
+    assert conf["blk"].get_int("y") == 99  # post-include key beats include

@@ -181,3 +181,18 @@ def test_factory_synthetic():
     train, val, test = get_split_dataset("synthetic", None, num_objects=2, num_views=3)
     assert len(train) == 2 and len(val) == 2 and len(test) == 2
     assert train.z_near == 1.0
+
+
+def test_pipeline_step_counts_batches():
+    """self.step advances one per batch = one optimizer step (reference
+    train.py compares global_step to no_bbox_step), not per object."""
+    ds = SyntheticSphereDataset(num_objects=3, num_views=4, image_size=(16, 16))
+    pipe = RayBatchPipeline(ds, batch_size=4, rays_per_object=8, views=(1,), prefetch=0)
+    it = pipe.batches()
+    b0 = next(it)
+    b1 = next(it)
+    assert b0["step"] == 0
+    assert b1["step"] == 1
+    # resume path: curriculum counter can be re-seated from a TrainState step
+    pipe.step = 117
+    assert next(it)["step"] == 117

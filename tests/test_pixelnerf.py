@@ -121,3 +121,23 @@ def test_output_ranges():
     assert out.shape == (1, 64, 4)
     assert out[..., :3].min() >= 0.0 and out[..., :3].max() <= 1.0
     assert out[..., 3].min() >= 0.0
+
+
+def test_per_view_intrinsics():
+    """encode accepts per-view (SB*NS, 2) focal/c; uniform per-view values
+    match the broadcast (SB, 2) path exactly (reference models.py:119-141)."""
+    net, variables, images, poses, focal, xyz, viewdirs = _setup()
+    SB, NS = images.shape[:2]
+    args = (jnp.asarray(images), jnp.asarray(poses))
+    enc_scalar = net.apply(variables, *args, jnp.asarray(focal), method=net.encode)
+    per_view = np.full((SB * NS, 2), focal, np.float32)
+    enc_pv = net.apply(variables, *args, jnp.asarray(per_view), method=net.encode)
+    q = lambda enc: np.asarray(
+        net.apply(variables, enc, jnp.asarray(xyz), viewdirs=jnp.asarray(viewdirs),
+                  coarse=True, method=net.query)
+    )
+    np.testing.assert_allclose(q(enc_scalar), q(enc_pv), rtol=1e-6, atol=1e-6)
+    # distinct per-view focals must run (not hard-fail) and differ
+    distinct = per_view * np.linspace(0.8, 1.2, SB * NS)[:, None].astype(np.float32)
+    enc_d = net.apply(variables, *args, jnp.asarray(distinct), method=net.encode)
+    assert not np.allclose(q(enc_d), q(enc_scalar))
