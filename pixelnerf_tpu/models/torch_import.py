@@ -75,7 +75,13 @@ def import_state_dict(state_dict: Dict[str, Any]) -> Dict[str, Dict]:
     params: Dict = {}
     batch_stats: Dict = {}
     skip_suffixes = ("num_batches_tracked",)
-    skip_names = {"poses", "image_shape", "focal", "c", "latent", "latent_scaling"}
+    # _freqs/_phases: the reference PositionalEncoding's persistent buffers
+    # (code.py:24-28) — pure functions of (num_freqs, freq_factor), recomputed
+    # on our side, but present in real pixel_nerf_latest checkpoints.
+    skip_names = {
+        "poses", "image_shape", "focal", "c", "latent", "latent_scaling",
+        "_freqs", "_phases",
+    }
 
     for key, value in state_dict.items():
         parts = key.split(".")

@@ -1,0 +1,182 @@
+"""End-to-end golden test against the ACTUAL reference implementation.
+
+Builds the reference PixelNeRFNet + NeRFRenderer (torch CPU, random weights,
+pretrained=False), exports its state_dict, imports it through
+``models.torch_import``, and renders identical rays through both stacks with
+matched deterministic sampling (uniform -> 0.5, normal -> 0 on both sides).
+This validates the WHOLE pipeline — encoder, uv projection, bilinear gather,
+conditioned MLP, hierarchical coarse+fine render — against the reference code
+itself rather than a re-implemented referee.
+
+Reference: src/model/models.py:146-266, src/render/nerf.py:98-338.
+"""
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF_SRC = "/root/reference/src"
+
+
+def _psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    return float("inf") if mse == 0 else -10.0 * np.log10(mse)
+
+
+@pytest.fixture(scope="module")
+def ref_modules():
+    if not os.path.isdir(REF_SRC):
+        pytest.skip("reference source tree not available")
+    # Stub the two external deps of the reference's import graph that this
+    # environment lacks. dotmap.DotMap only needs attr-dict + toDict here;
+    # pyhocon is imported by util.args but unused on the model/render path.
+    if "dotmap" not in sys.modules:
+        dm = types.ModuleType("dotmap")
+
+        class DotMap(dict):
+            def __getattr__(self, k):
+                try:
+                    return self[k]
+                except KeyError:
+                    raise AttributeError(k)
+
+            def __setattr__(self, k, v):
+                self[k] = v
+
+            def toDict(self):
+                return dict(self)
+
+        dm.DotMap = DotMap
+        sys.modules["dotmap"] = dm
+    if "pyhocon" not in sys.modules:
+        ph = types.ModuleType("pyhocon")
+        ph.ConfigFactory = type("ConfigFactory", (), {})
+        sys.modules["pyhocon"] = ph
+    import torchvision_stub
+
+    torchvision_stub.install()
+    if REF_SRC not in sys.path:
+        sys.path.insert(0, REF_SRC)
+    import model as ref_model  # noqa: F401  (reference src/model)
+    import render.nerf as ref_nerf  # noqa: F401
+
+    return ref_model, ref_nerf
+
+
+def test_reference_end_to_end(ref_modules, monkeypatch):
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from pixelnerf_tpu.config import load_config
+    from pixelnerf_tpu.models import make_model
+    from pixelnerf_tpu.models.torch_import import import_state_dict
+    from pixelnerf_tpu.render.renderer import RenderConfig, render_rays
+    from pixelnerf_tpu.utils import geometry
+
+    ref_model, ref_nerf = ref_modules
+
+    conf = load_config(os.path.join(REPO, "conf", "exp", "sn64.conf"))
+    conf["model"]["encoder"]["pretrained"] = False  # no downloads; random init
+    torch.manual_seed(0)
+    ref_net = ref_model.make_model(conf["model"]).eval()
+
+    # Our net from the same conf, weights imported from the reference net.
+    net = make_model(conf["model"])
+    sd = {k: v.detach().numpy() for k, v in ref_net.state_dict().items()}
+    variables = import_state_dict(sd)
+
+    SB, NS, H, W, B = 1, 2, 64, 64, 24
+    rng = np.random.default_rng(0)
+    images = rng.uniform(-1, 1, (SB, NS, H, W, 3)).astype(np.float32)
+    poses = np.stack(
+        [
+            np.stack(
+                [
+                    geometry.look_at(
+                        np.array([0.5 * v - 0.2, 0.3, 2.2], np.float32),
+                        np.zeros(3),
+                    )
+                    for v in range(NS)
+                ]
+            )
+            for _ in range(SB)
+        ]
+    ).astype(np.float32)
+    focal = np.float32(1.2 * W)
+    rays = np.asarray(
+        geometry.gen_rays(jnp.asarray(poses[:, 0]), W, H, jnp.asarray(focal), 1.0, 3.4)
+    ).reshape(SB, -1, 8)[:, :: (H * W) // B][:, :B]
+
+    # Deterministic sampling on BOTH sides: stratified jitter and the
+    # importance-sample u's become 0.5, depth jitter becomes 0. The two
+    # renderers then draw identical z samples and the comparison is exact
+    # up to float32 accumulation.
+    monkeypatch.setattr(torch, "rand_like", lambda x: torch.full_like(x, 0.5))
+    monkeypatch.setattr(torch, "randn_like", lambda x: torch.zeros_like(x))
+
+    def fixed_rand(*sizes, **kw):
+        dtype = kw.get("dtype") or torch.float32
+        return torch.full(tuple(int(s) for s in sizes), 0.5, dtype=dtype)
+
+    monkeypatch.setattr(torch, "rand", fixed_rand)
+    monkeypatch.setattr(
+        jax.random,
+        "uniform",
+        lambda key, shape=(), dtype=jnp.float32, minval=0.0, maxval=1.0: jnp.full(
+            shape, 0.5, dtype
+        ),
+    )
+    monkeypatch.setattr(
+        jax.random,
+        "normal",
+        lambda key, shape=(), dtype=jnp.float32: jnp.zeros(shape, dtype),
+    )
+
+    # --- reference render -------------------------------------------------
+    renderer_ref = ref_nerf.NeRFRenderer.from_conf(conf["renderer"], white_bkgd=True)
+    render_par = renderer_ref.bind_parallel(ref_net, gpus=None)
+    images_nchw = torch.from_numpy(images.transpose(0, 1, 4, 2, 3))
+    with torch.no_grad():
+        ref_net.encode(
+            images_nchw, torch.from_numpy(poses), torch.tensor(float(focal))
+        )
+        out_ref = render_par(torch.from_numpy(rays), want_weights=True)
+
+    # --- our render ---------------------------------------------------------
+    enc = net.apply(
+        variables, jnp.asarray(images), jnp.asarray(poses), jnp.asarray(focal),
+        method=net.encode,
+    )
+
+    def query_fn(xyz, viewdirs, coarse):
+        return net.apply(
+            variables, enc, xyz, viewdirs=viewdirs, coarse=coarse, method=net.query
+        )
+
+    cfg = RenderConfig.from_conf(conf["renderer"], white_bkgd=True)
+    out = render_rays(
+        query_fn, jnp.asarray(rays), jax.random.PRNGKey(0), cfg,
+        train=False, want_weights=True, use_viewdirs=net.use_viewdirs,
+    )
+
+    for branch in ("coarse", "fine"):
+        rgb_ref = np.asarray(out_ref[branch]["rgb"])
+        rgb_ours = np.asarray(out[branch]["rgb"])
+        assert rgb_ref.shape == rgb_ours.shape
+        psnr = _psnr(rgb_ours, rgb_ref)
+        assert psnr > 60.0, f"{branch} rgb PSNR {psnr:.1f} dB vs reference"
+        depth_ref = np.asarray(out_ref[branch]["depth"]).reshape(SB, B)
+        np.testing.assert_allclose(
+            np.asarray(out[branch]["depth"]), depth_ref, atol=2e-3,
+            err_msg=f"{branch} depth",
+        )
+        w_ref = np.asarray(out_ref[branch]["weights"])
+        np.testing.assert_allclose(
+            np.asarray(out[branch]["weights"]), w_ref, atol=2e-3,
+            err_msg=f"{branch} weights",
+        )
