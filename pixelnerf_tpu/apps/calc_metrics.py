@@ -51,9 +51,7 @@ def _collect_objects(args):
     elif args.dataset_format == "srn":
         list_name, img_dir_name = "", "rgb"
     else:
-        raise NotImplementedError(
-            "Unsupported data format " + args.dataset_format
-        )
+        return None, None  # adapter-based formats (synthetic, multi_obj)
 
     cats = sorted(os.listdir(args.datadir)) if args.multicat else ["."]
     all_objs, total = [], 0
@@ -90,6 +88,8 @@ def run_map(args):
 
     lp = _load_lpips(args)
     all_objs, img_dir_name = _collect_objects(args)
+    if all_objs is None:
+        return run_map_dataset(args, lp)
 
     exclude_lut = None
     if args.viewlist:
@@ -152,6 +152,53 @@ def run_map(args):
         with open(out_path, "w") as f:
             f.write("\n".join(f"{k} {v}" for k, v in entry.items()))
         print(osp.basename(rend_dir), {k: round(v, 4) for k, v in entry.items()})
+
+
+def run_map_dataset(args, lp):
+    """Map over a dataset adapter for formats without the dvr/srn on-disk
+    layout (synthetic fixtures, multi_obj): GT comes from the adapter's
+    decoded images instead of raw files."""
+    import imageio.v2 as imageio
+
+    from ..data import get_split_dataset
+    from ..utils import metrics
+
+    dset = get_split_dataset(
+        args.dataset_format, args.datadir, want_split="test", training=False
+    )
+    for obj_idx in range(len(dset)):
+        data = dset[obj_idx]
+        if not data:
+            continue
+        obj_name = osp.basename(data["path"])
+        if args.multicat:
+            obj_name = f"{osp.basename(osp.dirname(data['path']))}_{obj_name}"
+        rend_dir = osp.join(args.output, obj_name)
+        out_path = osp.join(rend_dir, "metrics.txt")
+        if not osp.isdir(rend_dir) or (osp.exists(out_path) and not args.overwrite):
+            continue
+        psnr_avg = ssim_avg = 0.0
+        gts, preds = [], []
+        for view in range(data["images"].shape[0]):
+            rend_path = osp.join(rend_dir, f"{view:06}.png")
+            if not osp.exists(rend_path):
+                continue
+            gt = data["images"][view] * 0.5 + 0.5
+            pred = imageio.imread(rend_path).astype(np.float32)[..., :3] / 255.0
+            psnr_avg += metrics.psnr(pred, gt)
+            ssim_avg += metrics.ssim(pred, gt, data_range=1.0)
+            gts.append(gt * 2.0 - 1.0)
+            preds.append(pred * 2.0 - 1.0)
+        if not gts:
+            continue
+        n = len(gts)
+        entry = {"psnr": psnr_avg / n, "ssim": ssim_avg / n}
+        if lp is not None:
+            dists = lp(np.stack(preds), np.stack(gts))
+            entry["lpips"] = float(np.mean(dists))
+        with open(out_path, "w") as f:
+            f.write("\n".join(f"{k} {v}" for k, v in entry.items()))
+        print(obj_name, {k: round(v, 4) for k, v in entry.items()})
 
 
 def run_reduce(args):

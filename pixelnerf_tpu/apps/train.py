@@ -43,6 +43,10 @@ def extra_args(parser):
                         "many rays (bounds memory at large -R)")
     parser.add_argument("--workers", type=int, default=4,
                         help="dataset-loading threads in the input pipeline")
+    parser.add_argument("--pretrained_encoder", type=str, default=None,
+                        help="torchvision resnet state_dict (.pth) to "
+                        "initialize the spatial encoder from ImageNet "
+                        "weights, as the reference does")
     parser.add_argument("--seed", type=int, default=0)
 
 
@@ -119,6 +123,13 @@ def main(argv=None):
         jnp.zeros((args.batch_size, 8, 3)), jnp.ones((args.batch_size, 8, 3)),
         c=jnp.asarray(batch0["c"]),
     )
+    if args.pretrained_encoder:
+        from ..models.torch_import import load_pretrained_encoder
+
+        # resume (inside Trainer) still wins over this warm start, matching
+        # the reference's pretrained-then-load_weights order
+        variables = load_pretrained_encoder(variables, args.pretrained_encoder)
+        print(f"Encoder initialized from {args.pretrained_encoder}")
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(variables["params"]))
     print(f"Model parameters: {n_params/1e6:.2f}M; d_in={net.d_in} d_latent={net.d_latent}")
 

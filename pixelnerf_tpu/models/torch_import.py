@@ -184,3 +184,58 @@ def import_torchvision_resnet(state_dict: Dict[str, Any]) -> Dict[str, Dict]:
         if not k.startswith("fc.")
     }
     return import_state_dict(filtered)
+
+
+def load_pretrained_encoder(variables: Dict[str, Dict], path: str) -> Dict[str, Dict]:
+    """Initialize the spatial-encoder trunk from a torchvision ImageNet
+    state_dict file (the reference trains from
+    ``torchvision.models.resnet34(pretrained=True)``; src/model/encoder.py:62-64).
+
+    Only the weights the model actually has are grafted (a ``num_layers<5``
+    encoder ignores the deeper stages); shape mismatches (e.g. resnet18
+    weights into a resnet34 encoder) raise with the offending path.
+    Returns a new variables tree; params/batch_stats of other modules are
+    shared, untouched.
+    """
+    import torch
+
+    sd = torch.load(path, map_location="cpu")
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    imported = import_torchvision_resnet(
+        {k: np.asarray(getattr(v, "numpy", lambda: v)()) for k, v in sd.items()}
+    )
+
+    def graft(target: Dict, src: Dict, trail: Tuple[str, ...]) -> Dict:
+        out = {}
+        for k, v in target.items():
+            here = trail + (k,)
+            if isinstance(v, dict):
+                if k not in src:
+                    raise ValueError(
+                        f"pretrained encoder missing module {'.'.join(here)}"
+                    )
+                out[k] = graft(v, src[k], here)
+            else:
+                if k not in src:
+                    raise ValueError(
+                        f"pretrained encoder missing tensor {'.'.join(here)}"
+                    )
+                if tuple(src[k].shape) != tuple(v.shape):
+                    raise ValueError(
+                        f"pretrained encoder shape mismatch at {'.'.join(here)}: "
+                        f"{src[k].shape} vs model {v.shape}"
+                    )
+                out[k] = np.asarray(src[k], dtype=np.asarray(v).dtype)
+        return out
+
+    new_vars = dict(variables)
+    for col in ("params", "batch_stats"):
+        tree = dict(new_vars.get(col, {}))
+        if "encoder" not in tree:
+            raise ValueError("model has no spatial encoder to initialize")
+        enc = dict(tree["encoder"])
+        enc["model"] = graft(enc["model"], imported[col]["model"], (col, "model"))
+        tree["encoder"] = enc
+        new_vars[col] = tree
+    return new_vars

@@ -151,3 +151,26 @@ def test_recon_cli(workdir):
     assert objs
     text = open(os.path.join(workdir, "mesh_out", objs[0])).read()
     assert text.count("\nv ") + text.startswith("v ") >= 0  # parses as obj
+
+
+def test_train_cli_pretrained_encoder(workdir, tmp_path_factory):
+    """--pretrained_encoder warm-starts the trunk from a torchvision-format
+    state_dict (reference src/model/encoder.py:62-64)."""
+    import torch
+
+    from pixelnerf_tpu.apps import train
+    from torchvision_stub import resnet34
+
+    torch.manual_seed(1)
+    path = str(tmp_path_factory.mktemp("enc") / "resnet34.pth")
+    torch.save(resnet34().state_dict(), path)
+    train.main(
+        ["-n", "smoke_pre", "-c", CONF, "-F", "synthetic", "-B", "1", "-V", "1",
+         "-R", "16", "--epochs", "1", "--epoch_batches", "2", "--no_mesh",
+         "--pretrained_encoder", path,
+         "--override", "train.eval_interval=1000",
+         "--override", "train.vis_interval=1000"] + TINY
+    )
+    assert os.path.exists(
+        os.path.join(workdir, "checkpoints", "smoke_pre", "train_state.msgpack")
+    )

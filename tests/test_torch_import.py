@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 
 from pixelnerf_tpu.config import load_config
@@ -125,3 +126,39 @@ def test_torchvision_resnet_key_mapping():
     assert p["layer2"]["block0"]["downsample_conv"]["kernel"].shape == (1, 1, 64, 128)
     assert v["batch_stats"]["model"]["layer2"]["block0"]["downsample_bn"]["var"].shape == (128,)
     assert "fc" not in p  # classifier head dropped
+
+
+def test_load_pretrained_encoder(tmp_path):
+    """Torchvision ImageNet weights graft into the encoder trunk; the rest of
+    the model is untouched (reference trains from pretrained resnet34)."""
+    from pixelnerf_tpu.models.torch_import import load_pretrained_encoder
+    from torchvision_stub import resnet34
+
+    net, variables = _tiny_net()  # encoder num_layers=2: conv1/bn1/layer1 used
+    torch.manual_seed(3)
+    tv = resnet34()
+    path = str(tmp_path / "resnet34.pth")
+    torch.save(tv.state_dict(), path)
+
+    new_vars = load_pretrained_encoder(variables, path)
+    got = np.asarray(new_vars["params"]["encoder"]["model"]["conv1"]["kernel"])
+    want = tv.state_dict()["conv1.weight"].numpy().transpose(2, 3, 1, 0)
+    np.testing.assert_array_equal(got, want)
+    got_bn = np.asarray(new_vars["batch_stats"]["encoder"]["model"]["bn1"]["mean"])
+    np.testing.assert_array_equal(got_bn, tv.state_dict()["bn1.running_mean"].numpy())
+    # non-encoder params are shared, not copied
+    assert new_vars["params"]["mlp_coarse"] is variables["params"]["mlp_coarse"]
+
+
+def test_load_pretrained_encoder_shape_mismatch(tmp_path):
+    from pixelnerf_tpu.models.torch_import import load_pretrained_encoder
+    from torchvision_stub import resnet34
+
+    net, variables = _tiny_net()
+    tv = resnet34()
+    sd = tv.state_dict()
+    sd["conv1.weight"] = torch.zeros(64, 3, 3, 3)  # wrong kernel size
+    path = str(tmp_path / "bad.pth")
+    torch.save(sd, path)
+    with pytest.raises(ValueError, match="shape mismatch"):
+        load_pretrained_encoder(variables, path)
