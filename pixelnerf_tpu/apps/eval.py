@@ -81,12 +81,15 @@ def main(argv=None):
         lindisp=getattr(dset, "lindisp", False),
         eval_batch_size=args.ray_batch_size,
     )
-    if args.coarse:
-        import dataclasses
+    import dataclasses
 
-        cfg = dataclasses.replace(
-            cfg, n_coarse=64 if cfg.n_fine > 0 else 128, n_fine=0, n_fine_depth=0
-        )
+    if cfg.n_coarse < 64:
+        # ensure decent sampling resolution (reference eval.py:142-143)
+        cfg = dataclasses.replace(cfg, n_coarse=64)
+    if args.coarse:
+        # reference eval.py:139-148: drop the fine MLP but KEEP the 64+128
+        # hierarchical sampling — both passes run through the coarse MLP
+        cfg = dataclasses.replace(cfg, n_coarse=64, n_fine=128)
 
     source = np.array([int(x) for x in args.source.split()])
     viewlist = {}
@@ -109,6 +112,8 @@ def main(argv=None):
         )
 
     net, variables = load_net_and_state(args, conf, init_fn)
+    if args.coarse:
+        net = net.clone(mlp_fine=None)  # fine pass reuses the coarse MLP
 
     mesh = None
     if not args.no_mesh and jax.device_count() > 1:
@@ -202,7 +207,23 @@ def main(argv=None):
                     (np.clip(compare, 0, 1) * 255).astype(np.uint8),
                 )
             if args.write_depth:
-                np.save(os.path.join(obj_dir, f"{view:06d}_depth.npy"), depth_all[ti])
+                # normalized depth EXR + colormapped PNG (ref eval.py:291-310)
+                from ..eval.common import depth_cmap
+                from ..utils.exr import write_exr
+
+                depth_norm = (depth_all[ti] - dset.z_near) / (
+                    dset.z_far - dset.z_near
+                )
+                write_exr(
+                    os.path.join(obj_dir, f"{view:06d}_depth.exr"),
+                    np.asarray(depth_norm, np.float32),
+                )
+                imageio.imwrite(
+                    os.path.join(obj_dir, f"{view:06d}_depth_norm.png"),
+                    (depth_cmap(depth_all[ti], dset.z_near, dset.z_far) * 255).astype(
+                        np.uint8
+                    ),
+                )
         n = len(target_views)
         obj_psnr /= n
         obj_ssim /= n

@@ -174,3 +174,29 @@ def test_train_cli_pretrained_encoder(workdir, tmp_path_factory):
     assert os.path.exists(
         os.path.join(workdir, "checkpoints", "smoke_pre", "train_state.msgpack")
     )
+
+
+def test_eval_cli_write_depth_and_coarse(workdir):
+    """--write_depth emits EXR + colormap PNG; --coarse swaps to the
+    reference's 64+128 hierarchy through the coarse MLP (eval.py:139-148,
+    291-310)."""
+    import glob
+
+    from pixelnerf_tpu.apps import eval as eval_app
+    from pixelnerf_tpu.utils.exr import read_exr
+
+    eval_app.main(
+        ["-n", "smoke", "-c", CONF, "-F", "synthetic", "-P", "0",
+         "-R", "4096", "--limit", "1", "-O", "eval_depth", "--no_mesh",
+         "--write_depth", "--coarse",
+         "--override", "renderer.n_fine_depth=0"] + TINY
+    )
+    exrs = glob.glob(os.path.join(workdir, "eval_depth", "*", "*_depth.exr"))
+    assert exrs, "no depth EXR written"
+    depth = read_exr(exrs[0])
+    assert depth.ndim == 2 and np.isfinite(depth).all()
+    # normalized (d - near)/(far - near): empty rays give -near/(far-near)
+    # (= -0.5 for near 1, far 3), surfaces land in [0, 1]
+    assert depth.min() >= -0.5 - 1e-5 and depth.max() <= 1.0 + 1e-5
+    norms = glob.glob(os.path.join(workdir, "eval_depth", "*", "*_depth_norm.png"))
+    assert norms, "no colormapped depth written"
