@@ -48,6 +48,16 @@ def main():
     )
     enc = net.apply(variables, images, poses, focal, method=net.encode)
 
+    # Fold the MLPs' latent-injection GEMMs into the feature map (exact;
+    # see models.pixelnerf.bake_encoding). Off by default on v5e: measured
+    # 80.2k vs 100.7k rays/s — the 3x-wider gather rows cost more than the
+    # saved GEMM (the XLA gather is only partially index-bound: 4-corner
+    # bf16 at C=512 runs 11.3 ms/393k pts vs 20.4 ms at C=1536).
+    if os.environ.get("BENCH_BAKED", "0") == "1":
+        from pixelnerf_tpu.models import bake_encoding
+
+        enc = bake_encoding(net, variables, enc)
+
     cam_rays = np.asarray(
         geometry.gen_rays(poses[:, 0], W, H, focal, 0.8, 1.8)
     ).reshape(1, -1, 8)
@@ -60,6 +70,10 @@ def main():
     # XLA here — the XLA bf16 path already runs at ~87% of MXU peak.
     fast = os.environ.get("BENCH_FAST", "0") == "1"
 
+    # staged render: fine pass reuses the coarse samples' gathered features
+    # (exact; see render_rays docstring). ~40% fewer gather points.
+    staged = os.environ.get("BENCH_STAGED", "1") == "1"
+
     @jax.jit
     def render(variables, enc, rays, key):
         def query_fn(xyz, viewdirs, coarse):
@@ -68,8 +82,21 @@ def main():
                 fast=fast, method=net.query,
             )
 
+        def features_fn(xyz, viewdirs):
+            return net.apply(
+                variables, enc, xyz, viewdirs=viewdirs,
+                method=net.query_features,
+            )
+
+        def mlp_fn(feats, coarse):
+            return net.apply(
+                variables, enc, feats, coarse=coarse, fast=fast,
+                method=net.query_mlp,
+            )
+
+        q = (features_fn, mlp_fn) if staged else query_fn
         out = render_rays_chunked(
-            query_fn, rays, key, cfg, ray_chunk=ray_chunk, use_viewdirs=True
+            q, rays, key, cfg, ray_chunk=ray_chunk, use_viewdirs=True
         )
         # scalar checksum: device_get on it is the only reliable execution
         # barrier through remoted TPU runtimes (block_until_ready returns

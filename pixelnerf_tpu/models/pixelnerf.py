@@ -44,6 +44,10 @@ class SceneEncoding:
     num_views: int = flax.struct.field(pytree_node=False, default=1)
     global_latent: Optional[jax.Array] = None   # (SB*NS, G) if use_global_encoder
     latent_quad: Optional[jax.Array] = None     # (SB*NS, Hl, Wl, 4C) corner map
+    # Baked latent injections (see bake_encoding): the MLP's lin_z GEMM
+    # applied to the feature map at encode time, (SB*NS, Hl, Wl, n_lin_z*dh).
+    tz_coarse: Optional[jax.Array] = None
+    tz_fine: Optional[jax.Array] = None
 
 
 def _normalize_intrinsic(v, batch: int, name: str, num_views: int = 1) -> jax.Array:
@@ -193,6 +197,26 @@ class PixelNeRFNet(nn.Module):
         :param viewdirs: (SB, B, 3) world-space view directions
         :return: (SB, B, 4) — sigmoid(rgb), relu(sigma)
         """
+        feats = self.query_features(enc, xyz, viewdirs=viewdirs, coarse=coarse)
+        return self.query_mlp(enc, feats, coarse=coarse, fast=fast)
+
+    def query_features(
+        self,
+        enc: SceneEncoding,
+        xyz: jax.Array,
+        viewdirs: Optional[jax.Array] = None,
+        coarse: bool = True,
+    ):
+        """The per-point *feature* stage of ``query``: camera transform,
+        uv projection, pixel-aligned gather, positional code. Split out so
+        the renderer's staged path can reuse coarse-sample features in the
+        fine pass (the gather is the non-GEMM hot op; reference
+        src/model/encoder.py:102-108). ``coarse`` only matters for baked
+        encodings (per-MLP tz maps).
+
+        :return: (latent, z_feature) tuple of (SB*NS, B, D) arrays (either
+            may be None), consumable by :meth:`query_mlp`.
+        """
         SB, B, _ = xyz.shape
         NS = enc.num_views
 
@@ -202,7 +226,7 @@ class PixelNeRFNet(nn.Module):
         xyz_cam = xyz_rot + enc.poses[:, None, :3, 3]
 
         d_in = self.d_in
-        mlp_input = None
+        z_feature = None
         if d_in > 0:
             if self.use_xyz:
                 z_feature = xyz_rot if self.normalize_z else xyz_cam
@@ -221,8 +245,9 @@ class PixelNeRFNet(nn.Module):
 
             if self.use_code and self.use_code_viewdirs:
                 z_feature = self.code(z_feature)
-            mlp_input = z_feature                                  # (SB*NS, B, d_in)
+            z_feature = z_feature.reshape(SB * NS, B, d_in)
 
+        latent = None
         if self.use_encoder:
             uv = -xyz_cam[..., :2] / xyz_cam[..., 2:3]             # (SB*NS, B, 2)
             # intrinsics may already be per-view (SB*NS, 2)
@@ -233,7 +258,24 @@ class PixelNeRFNet(nn.Module):
             )
             cc = enc.c if enc.c.shape[0] == SB * NS else repeat_interleave(enc.c, NS)
             uv = uv * focal[:, None, :] + cc[:, None, :]
-            if enc.latent_quad is not None:
+            tz_map = None
+            if enc.tz_coarse is not None and self.global_encoder is None:
+                tz_map = (
+                    enc.tz_coarse
+                    if (coarse or self.mlp_fine is None)
+                    else enc.tz_fine
+                )
+            if tz_map is not None:
+                # baked path: the gather returns the latent injections
+                # directly (wz GEMM folded into the map; bake_encoding)
+                latent = index_latent(
+                    tz_map,
+                    uv,
+                    enc.image_shape,
+                    self.encoder.index_interp,
+                    self.encoder.index_padding,
+                )
+            elif enc.latent_quad is not None:
                 from ..models.encoder import latent_scaling
                 from ..ops.grid_sample import grid_sample_quad
 
@@ -255,13 +297,102 @@ class PixelNeRFNet(nn.Module):
             if self.use_global_encoder:
                 glob = ImageEncoder.index(enc.global_latent, latent)  # (SB*NS, B, G)
                 latent = jnp.concatenate([glob, latent], axis=-1)
+        return latent, z_feature
+
+    def query_mlp(
+        self,
+        enc: SceneEncoding,
+        feats,
+        coarse: bool = True,
+        fast: bool = False,
+    ) -> jax.Array:
+        """The *field MLP* stage of ``query``: run the (coarse or fine)
+        conditioned MLP on precomputed features and apply the output heads.
+
+        :param feats: (latent, z_feature) from :meth:`query_features`
+        :return: (SB, B, 4) — sigmoid(rgb), relu(sigma)
+        """
+        latent, z_feature = feats
+        NS = enc.num_views
+        lead = latent if latent is not None else z_feature
+        B = lead.shape[1]
+        SB = lead.shape[0] // NS
+        # baked tz maps make the gathered latent pre-transformed (z @ Wz + b)
+        z_pre = (
+            latent is not None
+            and enc.tz_coarse is not None
+            and self.global_encoder is None
+        )
+        if latent is not None:
             # pass (z, x) unconcatenated — ResnetFC fuses the latent
             # injections into one GEMM and never materializes the concat
-            mlp_input = (latent, mlp_input) if d_in > 0 else latent
+            mlp_input = (latent, z_feature) if z_feature is not None else latent
+        else:
+            mlp_input = z_feature
 
         mlp = self.mlp_coarse if (coarse or self.mlp_fine is None) else self.mlp_fine
-        out = mlp(mlp_input, combine_inner_dims=(NS, B), fast=fast)  # (SB, B, 4)
+        kw = {"z_pretransformed": True} if z_pre else {}
+        out = mlp(mlp_input, combine_inner_dims=(NS, B), fast=fast, **kw)  # (SB, B, 4)
         out = out.reshape(SB, B, 4)
         rgb = nn.sigmoid(out[..., :3])
         sigma = nn.relu(out[..., 3:4])
         return jnp.concatenate([rgb, sigma], axis=-1)
+
+
+def bake_encoding(
+    net: PixelNeRFNet, variables, enc: SceneEncoding
+) -> SceneEncoding:
+    """Fold the MLPs' latent-injection GEMMs into the feature map (inference).
+
+    The pixel-aligned latent enters ResnetFC *only* through the ``lin_z``
+    linear layers (reference src/model/resnetfc.py:174-180), and bilinear
+    interpolation commutes with linear maps, so
+    ``lerp(corners) @ Wz + bz == lerp(corners @ Wz + bz)`` exactly (the lerp
+    weights sum to 1, so the bias bakes in too — valid for 'border' padding,
+    where every fetched row is a real map row). Baking therefore:
+
+    - removes the d_latent x (n_lin_z*d_hidden) GEMM (~23% of the field
+      MLP's FLOPs at the reference's 512x5 config) from the per-sample hot
+      loop, paying it once per encode over Hl*Wl pixels instead; and
+    - leaves the gather index count unchanged (the TPU gather is
+      index-count-bound, so the wider rows are ~free).
+
+    Returns a new :class:`SceneEncoding` with ``tz_coarse``/``tz_fine`` set;
+    ``query`` uses them automatically. Exact in f32; under bf16 storage the
+    rounding differs from the unbaked path by ~1 ulp.
+    """
+    assert net.use_encoder and net.global_encoder is None, (
+        "baking requires the spatial encoder as the only latent source"
+    )
+    assert net.encoder.index_padding == "border", (
+        "zeros-padding would zero the baked bias for out-of-bounds points"
+    )
+    lat = enc.latent
+    n, hl, wl, c = lat.shape
+    flat = lat.reshape(-1, c).astype(jnp.float32)
+
+    def bake_one(mlp, params):
+        if not hasattr(mlp, "combine_layer") or getattr(mlp, "use_spade", False):
+            return None  # ImplicitNet / SPADE consume z differently
+        n_lin_z = min(mlp.combine_layer, mlp.n_blocks)
+        if mlp.d_latent <= 0 or n_lin_z <= 0:
+            return None
+        K = jnp.concatenate(
+            [params[f"lin_z_{i}"]["kernel"] for i in range(n_lin_z)], axis=1
+        )
+        b = jnp.concatenate([params[f"lin_z_{i}"]["bias"] for i in range(n_lin_z)])
+        tz = flat @ K + b
+        return tz.reshape(n, hl, wl, -1).astype(lat.dtype)
+
+    params = variables["params"]
+    tz_coarse = bake_one(net.mlp_coarse, params["mlp_coarse"])
+    tz_fine = (
+        bake_one(net.mlp_fine, params["mlp_fine"])
+        if net.mlp_fine is not None
+        else None
+    )
+    # all-or-nothing: query_mlp derives z_pretransformed from tz_coarse
+    # alone, so a half-baked pair would feed one MLP raw latents as tz
+    if net.mlp_fine is not None and (tz_coarse is None or tz_fine is None):
+        tz_coarse = tz_fine = None
+    return enc.replace(tz_coarse=tz_coarse, tz_fine=tz_fine)

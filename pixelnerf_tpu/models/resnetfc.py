@@ -143,9 +143,17 @@ class ResnetFC(nn.Module):
             and self.dtype == jnp.bfloat16
         )
 
+    @property
+    def n_lin_z(self) -> int:
+        return min(self.combine_layer, self.n_blocks) if self.d_latent > 0 else 0
+
     @nn.compact
     def __call__(
-        self, zx, combine_inner_dims: Sequence[int] = (1,), fast: bool = False
+        self,
+        zx,
+        combine_inner_dims: Sequence[int] = (1,),
+        fast: bool = False,
+        z_pretransformed: bool = False,
     ) -> jax.Array:
         """:param zx: (..., d_latent + d_in) — latent first, then spatial
             code — or a tuple ``(z, x)`` kept unconcatenated (avoids
@@ -154,14 +162,26 @@ class ResnetFC(nn.Module):
             NS at combine_layer (multi-view fusion)
         :param fast: allow the fused Pallas inference kernel (single-view,
             ReLU, bf16; falls back to XLA otherwise). Inference only.
+        :param z_pretransformed: ``z`` already holds the latent injections
+            ``z_raw @ concat(lin_z kernels) + concat(biases)`` of width
+            ``n_lin_z * d_hidden`` (see pixelnerf.bake_encoding — the lin_z
+            GEMM was folded into the feature map at encode, exact because
+            bilinear interpolation commutes with linear maps). Skips the
+            injection GEMM here. Not valid with SPADE.
         :return: (..., d_out) with the NS axis folded away if NS > 1
         """
         act = _activation(self.beta)
+        if z_pretransformed:
+            assert not self.use_spade, "baked injections incompatible with SPADE"
+            assert isinstance(zx, (tuple, list)), "baked z requires (z, x) form"
         if isinstance(zx, (tuple, list)):
             z, x = zx
             z = z.astype(self.dtype) if z is not None else None
             x = x.astype(self.dtype)
-            assert (0 if z is None else z.shape[-1]) == self.d_latent
+            expect_z = (
+                self.n_lin_z * self.d_hidden if z_pretransformed else self.d_latent
+            )
+            assert (0 if z is None else z.shape[-1]) == expect_z
             assert x.shape[-1] == self.d_in
         else:
             assert zx.shape[-1] == self.d_latent + self.d_in
@@ -193,14 +213,23 @@ class ResnetFC(nn.Module):
                 params_sub, self.n_blocks, self.combine_layer,
                 self.d_latent, self.d_in, self.d_hidden,
             )
+            d_z = self.d_latent
+            if z_pretransformed:
+                # injections already in z; ship dummy wz/bz (unused)
+                weights = weights[:2] + (
+                    jnp.zeros((128, 128), jnp.bfloat16),
+                    jnp.zeros((1, 128), jnp.bfloat16),
+                ) + weights[4:]
+                d_z = self.n_lin_z * self.d_hidden
             lead = x.shape[:-1]
             out = fused_resnetfc_infer(
-                z.reshape(-1, self.d_latent),
+                z.reshape(-1, d_z),
                 x.reshape(-1, self.d_in),
                 weights,
                 self.n_blocks,
                 self.combine_layer,
                 interpret=jax.default_backend() != "tpu",
+                z_is_tz=z_pretransformed,
             )
             out = out[..., : self.d_out]
             if (
@@ -220,11 +249,14 @@ class ResnetFC(nn.Module):
 
         tz_list = sz_list = None
         if z is not None and self.d_latent > 0:
-            # all latent injections as ONE GEMM: reads the big z tensor once
-            # instead of n_lin_z times (the hot path is HBM-bound)
-            K = jnp.concatenate([k for k, _ in p["lin_z"]], axis=1).astype(dt)
-            B = jnp.concatenate([b for _, b in p["lin_z"]]).astype(dt)
-            tz_all = z @ K + B
+            if z_pretransformed:
+                tz_all = z
+            else:
+                # all latent injections as ONE GEMM: reads the big z tensor
+                # once instead of n_lin_z times (the hot path is HBM-bound)
+                K = jnp.concatenate([k for k, _ in p["lin_z"]], axis=1).astype(dt)
+                B = jnp.concatenate([b for _, b in p["lin_z"]]).astype(dt)
+                tz_all = z @ K + B
             tz_list = [
                 tz_all[..., i * self.d_hidden : (i + 1) * self.d_hidden]
                 for i in range(len(p["lin_z"]))

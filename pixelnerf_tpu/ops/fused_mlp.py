@@ -37,7 +37,7 @@ def _round_up(x: int, m: int) -> int:
 def _mlp_kernel(
     x_ref, z_ref, win_ref, bin_ref, wz_ref, bz_ref,
     w0_ref, b0_ref, w1_ref, b1_ref, wout_ref, bout_ref, out_ref,
-    *, n_blocks: int, combine_layer: int, d_hidden: int,
+    *, n_blocks: int, combine_layer: int, d_hidden: int, z_is_tz: bool,
 ):
     f32 = jnp.float32
     bf16 = jnp.bfloat16
@@ -49,7 +49,9 @@ def _mlp_kernel(
     h = dense(x_ref[:], win_ref[:], bin_ref[:])                 # (T, dh)
     n_lin_z = min(combine_layer, n_blocks)
     if n_lin_z > 0:
-        tz = dense(z_ref[:], wz_ref[:], bz_ref[:])              # (T, n*dh)
+        # z either raw (inject via the wz GEMM) or already transformed at
+        # encode time (bake_encoding folded wz+bz into the feature map)
+        tz = z_ref[:] if z_is_tz else dense(z_ref[:], wz_ref[:], bz_ref[:])
     for i in range(n_blocks):
         if i < combine_layer and n_lin_z > 0:
             h = h + tz[:, i * d_hidden : (i + 1) * d_hidden]
@@ -63,7 +65,7 @@ def _mlp_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_blocks", "combine_layer", "interpret")
+    jax.jit, static_argnames=("n_blocks", "combine_layer", "interpret", "z_is_tz")
 )
 def fused_resnetfc_infer(
     z: jax.Array,
@@ -72,12 +74,15 @@ def fused_resnetfc_infer(
     n_blocks: int,
     combine_layer: int,
     interpret: bool = False,
+    z_is_tz: bool = False,
 ) -> jax.Array:
     """Run the fused MLP. z (N, d_latent), x (N, d_in) -> (N, d_out=4).
 
     ``weights`` = (win, bin, wz, bz, w0, b0, w1, b1, wout, bout) with
     w0/w1 stacked (n_blocks, dh, dh), wz the column-concatenated latent
     injections (d_latent, n_lin_z*dh), wout zero-padded to (dh, LANE).
+    With ``z_is_tz`` the injections were baked into z at encode time
+    (z width = n_lin_z*d_hidden, bias included); wz/bz are ignored.
     """
     win, bin_, wz, bz, w0, b0, w1, b1, wout, bout = weights
     N = z.shape[0]
@@ -106,6 +111,7 @@ def fused_resnetfc_infer(
         n_blocks=n_blocks,
         combine_layer=combine_layer,
         d_hidden=d_hidden,
+        z_is_tz=z_is_tz,
     )
     out = pl.pallas_call(
         kernel,
@@ -124,7 +130,8 @@ def fused_resnetfc_infer(
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * n_pad * d_hidden * (
-                d_in_pad + min(combine_layer, n_blocks) * d_hidden
+                d_in_pad
+                + (0 if z_is_tz else min(combine_layer, n_blocks) * d_hidden)
                 + 2 * n_blocks * d_hidden + LANE
             ),
             bytes_accessed=n_pad * (d_in_pad + z.shape[-1]) * 2 + n_pad * LANE * 4,

@@ -73,3 +73,29 @@ def test_param_tree_unchanged():
     assert p["block0"]["fc_0"]["kernel"].shape == (128, 128)
     # fc_1 zero-init preserved
     assert float(jnp.abs(p["block3"]["fc_1"]["kernel"]).max()) == 0.0
+
+
+def test_fast_pretransformed_z():
+    """Baked tz (z_pretransformed) through the kernel == XLA unbaked path."""
+    mlp = _mlp()
+    rng = np.random.default_rng(3)
+    z = jnp.asarray(rng.normal(size=(300, 512)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(300, 42)).astype(np.float32))
+    variables = mlp.init(jax.random.PRNGKey(0), (z, x))
+    # bake tz exactly the way bake_encoding does
+    p = variables["params"]
+    n_lin_z = min(mlp.combine_layer, mlp.n_blocks)
+    K = jnp.concatenate(
+        [p[f"lin_z_{i}"]["kernel"] for i in range(n_lin_z)], axis=1
+    )
+    b = jnp.concatenate([p[f"lin_z_{i}"]["bias"] for i in range(n_lin_z)])
+    tz = z @ K + b
+    slow = mlp.apply(variables, (z, x), combine_inner_dims=(1, 300))
+    fast = mlp.apply(
+        variables, (tz, x), combine_inner_dims=(1, 300),
+        fast=True, z_pretransformed=True,
+    )
+    assert fast.shape == slow.shape
+    np.testing.assert_allclose(
+        np.asarray(fast), np.asarray(slow), atol=5e-2, rtol=5e-2
+    )

@@ -141,3 +141,36 @@ def test_per_view_intrinsics():
     distinct = per_view * np.linspace(0.8, 1.2, SB * NS)[:, None].astype(np.float32)
     enc_d = net.apply(variables, *args, jnp.asarray(distinct), method=net.encode)
     assert not np.allclose(q(enc_d), q(enc_scalar))
+
+
+def test_baked_encoding_matches_unbaked():
+    """bake_encoding folds lin_z into the feature map; query must agree
+    (exact modulo f32 reassociation) in single- and multi-view settings."""
+    from pixelnerf_tpu.models import bake_encoding
+
+    for NS in (1, 2):
+        net, variables, images, poses, focal, xyz, viewdirs = _setup(NS=NS, seed=3)
+        enc = net.apply(
+            variables, jnp.asarray(images), jnp.asarray(poses), jnp.asarray(focal),
+            method=net.encode,
+        )
+        baked = bake_encoding(net, variables, enc)
+        assert baked.tz_coarse is not None and baked.tz_fine is not None
+        n_lin_z = min(net.mlp_coarse.combine_layer, net.mlp_coarse.n_blocks)
+        assert baked.tz_coarse.shape[-1] == n_lin_z * net.mlp_coarse.d_hidden
+        for coarse in (True, False):
+            plain = np.asarray(
+                net.apply(
+                    variables, enc, jnp.asarray(xyz),
+                    viewdirs=jnp.asarray(viewdirs), coarse=coarse,
+                    method=net.query,
+                )
+            )
+            fast = np.asarray(
+                net.apply(
+                    variables, baked, jnp.asarray(xyz),
+                    viewdirs=jnp.asarray(viewdirs), coarse=coarse,
+                    method=net.query,
+                )
+            )
+            np.testing.assert_allclose(fast, plain, atol=3e-5, rtol=1e-4)
