@@ -106,6 +106,11 @@ class Trainer:
                 if hasattr(train_pipeline, "step"):
                     train_pipeline.step = int(restored.step)
                 print(f"Resumed from step {int(self.state.step)}")
+        # host-side mirror of state.step (which advances by 1 per call):
+        # reading state.step inside the loop would block on the in-flight
+        # device step every batch, serializing host data prep against device
+        # compute (measured ~3x step-time inflation in round 1)
+        self._host_step = int(self.state.step)
 
         loss_conf = conf.get_config("loss", None) or ConfigNode()
         self.loss_fn = make_render_loss(loss_conf)
@@ -170,6 +175,7 @@ class Trainer:
         train_iter = iter(self.train_pipeline)
         test_iter = iter(self.test_pipeline) if self.test_pipeline else None
         t_last = time.time()
+        pending = None  # deferred (epoch, batch_idx, step, metrics) to print
         for epoch in range(self.num_epochs):
             for batch_idx in range(self.epoch_batches * self.num_epoch_repeats):
                 _t0 = time.time()
@@ -180,7 +186,7 @@ class Trainer:
 
                     batch = shard_batch(self.mesh, batch)
                 if self.render_schedule is not None:
-                    cfg = self.render_schedule.at_step(int(self.state.step))
+                    cfg = self.render_schedule.at_step(self._host_step)
                     if cfg not in self._step_cache:
                         print(
                             "INFO: sampling resolution changed on schedule "
@@ -192,7 +198,8 @@ class Trainer:
                     self.state, batch, self._next_key()
                 )
                 _t2 = time.time()
-                step = int(self.state.step)
+                self._host_step += 1
+                step = self._host_step
                 if _time_loop:
                     print(
                         f"[time] data {_t1-_t0:.3f}s dispatch {_t2-_t1:.3f}s "
@@ -202,15 +209,24 @@ class Trainer:
                 if _bare:
                     continue
                 if batch_idx % self.print_interval == 0:
-                    metrics = {k: float(v) for k, v in metrics.items()}
-                    dt = time.time() - t_last
-                    t_last = time.time()
-                    print(
-                        f"E{epoch} B{batch_idx} "
-                        + " ".join(f"{k}:{v:.5f}" for k, v in metrics.items())
-                        + f" ({dt:.2f}s)"
-                    )
-                    self._log("train", metrics, step)
+                    # print the *previous* interval's metrics: they are done
+                    # on-device by now, so float() doesn't stall the pipeline
+                    # (fetching this batch's metrics would block on the step
+                    # dispatched two lines up)
+                    if pending is not None:
+                        p_epoch, p_bidx, p_step, p_metrics = pending
+                        p_metrics = {k: float(v) for k, v in p_metrics.items()}
+                        dt = time.time() - t_last
+                        t_last = time.time()
+                        print(
+                            f"E{p_epoch} B{p_bidx} "
+                            + " ".join(
+                                f"{k}:{v:.5f}" for k, v in p_metrics.items()
+                            )
+                            + f" ({dt:.2f}s)"
+                        )
+                        self._log("train", p_metrics, p_step)
+                    pending = (epoch, batch_idx, step, metrics)
 
                 if test_iter is not None and batch_idx % self.eval_interval == 1:
                     test_batch = next(test_iter)
