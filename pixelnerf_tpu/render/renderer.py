@@ -162,10 +162,6 @@ def composite(
     :return: dict(weights (SB, B, K), rgb (SB, B, 3), depth (SB, B))
     """
     SB, B, K = z_samp.shape
-    deltas = z_samp[..., 1:] - z_samp[..., :-1]
-    delta_inf = rays[..., 7:8] - z_samp[..., -1:]
-    deltas = jnp.concatenate([deltas, delta_inf], axis=-1)          # (SB, B, K)
-
     points = rays[..., None, :3] + z_samp[..., None] * rays[..., None, 3:6]
     points = points.reshape(SB, B * K, 3)
     if use_viewdirs:
@@ -174,7 +170,25 @@ def composite(
         out = query_fn(points, viewdirs, coarse)
     else:
         out = query_fn(points, None, coarse)
-    out = out.reshape(SB, B, K, -1)
+    return composite_outputs(out.reshape(SB, B, K, -1), rays, z_samp, cfg, rng, train)
+
+
+def composite_outputs(
+    out: jax.Array,
+    rays: jax.Array,
+    z_samp: jax.Array,
+    cfg: RenderConfig,
+    rng: Optional[jax.Array] = None,
+    train: bool = False,
+) -> Dict[str, jax.Array]:
+    """Compositing math on already-computed field outputs.
+
+    :param out: (SB, B, K, 4) rgb+sigma aligned with ``z_samp`` (sorted)
+    """
+    SB, B, K = z_samp.shape
+    deltas = z_samp[..., 1:] - z_samp[..., :-1]
+    delta_inf = rays[..., 7:8] - z_samp[..., -1:]
+    deltas = jnp.concatenate([deltas, delta_inf], axis=-1)          # (SB, B, K)
 
     rgbs = out[..., :3]
     sigmas = out[..., 3]
@@ -207,36 +221,101 @@ def render_rays(
 ) -> Dict[str, Dict[str, jax.Array]]:
     """Full hierarchical render of a ray batch (reference nerf.py:251-303).
 
+    :param query_fn: either ``f(points, viewdirs, coarse) -> (SB, P, 4)`` or
+        a *staged* pair ``(features_fn, mlp_fn)`` with
+        ``features_fn(points, viewdirs) -> feats`` (a PyTree of
+        (SB*NS, P, D) leaves) and ``mlp_fn(feats, coarse) -> (SB, P, 4)``.
+        The staged form lets the fine pass REUSE the coarse samples'
+        pixel-aligned features: the sorted fine-sample union contains all
+        coarse z's (nerf.py:294-298), whose projected uv / positional code
+        are identical, so only the new importance+depth samples need the
+        (expensive, gather-bound) feature stage. Field outputs are computed
+        in unsorted order and permuted by argsort(z) — 4 channels instead
+        of 512+42 — before compositing. Bit-identical results.
     :param rays: (SB, B, 8) [origin, dir, near, far]
     :return: {'coarse': {rgb, depth[, weights]}[, 'fine': {...}]}
     """
     assert rays.ndim == 3 and rays.shape[-1] == 8
+    SB, B, _ = rays.shape
+    staged = isinstance(query_fn, (tuple, list))
     k_coarse, k_fine, k_depth, k_noise_c, k_noise_f = jax.random.split(rng, 5)
 
     z_coarse = sample_coarse(k_coarse, rays, cfg)                   # (SB, B, Kc)
-    coarse_out = composite(
-        query_fn, rays, z_coarse, True, cfg, k_noise_c, train, use_viewdirs
-    )
+
+    if not staged:
+        coarse_out = composite(
+            query_fn, rays, z_coarse, True, cfg, k_noise_c, train, use_viewdirs
+        )
+    else:
+        features_fn, mlp_fn = query_fn
+        feats_c = _stage_features(
+            features_fn, rays, z_coarse, use_viewdirs
+        )                                   # leaves (SB*NS, B*Kc, D)
+        out_c = mlp_fn(feats_c, True).reshape(SB, B, cfg.n_coarse, 4)
+        coarse_out = composite_outputs(
+            out_c, rays, z_coarse, cfg, k_noise_c, train
+        )
     outputs = {"coarse": _format(coarse_out, want_weights)}
 
     if cfg.using_fine:
-        all_samps = [z_coarse]
+        new_samps = []
         if cfg.n_fine - cfg.n_fine_depth > 0:
-            all_samps.append(sample_fine(k_fine, rays, coarse_out["weights"], cfg))
+            new_samps.append(sample_fine(k_fine, rays, coarse_out["weights"], cfg))
         if cfg.n_fine_depth > 0:
             # NOTE: the reference does NOT detach the expected depth here
             # (nerf.py:292) — unlike the importance weights — so fine-pass
             # gradients flow into the coarse pass through the depth-jittered
             # sample positions; preserved for training parity.
-            all_samps.append(
+            new_samps.append(
                 sample_fine_depth(k_depth, rays, coarse_out["depth"], cfg)
             )
-        z_combine = jnp.sort(jnp.concatenate(all_samps, axis=-1), axis=-1)
-        fine_out = composite(
-            query_fn, rays, z_combine, False, cfg, k_noise_f, train, use_viewdirs
-        )
+        if not staged:
+            z_combine = jnp.sort(
+                jnp.concatenate([z_coarse] + new_samps, axis=-1), axis=-1
+            )
+            fine_out = composite(
+                query_fn, rays, z_combine, False, cfg, k_noise_f, train,
+                use_viewdirs,
+            )
+        else:
+            z_new = jnp.concatenate(new_samps, axis=-1)             # (SB, B, Kn)
+            Kn = z_new.shape[-1]
+            feats_n = _stage_features(features_fn, rays, z_new, use_viewdirs)
+            # run the fine MLP separately on the cached-coarse and new
+            # features (concatenating the 512-wide features would copy
+            # ~0.8 GB/chunk; the 4-wide outputs are ~200x cheaper to merge)
+            out_fc = mlp_fn(feats_c, False).reshape(SB, B, cfg.n_coarse, 4)
+            out_fn = mlp_fn(feats_n, False).reshape(SB, B, Kn, 4)
+            out_f = jnp.concatenate([out_fc, out_fn], axis=2)
+            z_all = jnp.concatenate([z_coarse, z_new], axis=-1)
+            # one fused sort: z is the key, the 4 output channels ride as
+            # payload (argsort + take_along_axis would be another gather)
+            sorted_ops = jax.lax.sort(
+                [z_all] + [out_f[..., i] for i in range(4)],
+                dimension=-1,
+                num_keys=1,
+                is_stable=True,
+            )
+            z_sorted = sorted_ops[0]
+            out_sorted = jnp.stack(sorted_ops[1:], axis=-1)
+            fine_out = composite_outputs(
+                out_sorted, rays, z_sorted, cfg, k_noise_f, train
+            )
         outputs["fine"] = _format(fine_out, want_weights)
     return outputs
+
+
+def _stage_features(features_fn, rays, z_samp, use_viewdirs):
+    """Run the feature stage (projection + gather + positional code) on the
+    sample positions of ``z_samp``; leaves shaped (SB*NS, B*K, D)."""
+    SB, B, K = z_samp.shape
+    points = rays[..., None, :3] + z_samp[..., None] * rays[..., None, 3:6]
+    points = points.reshape(SB, B * K, 3)
+    if use_viewdirs:
+        viewdirs = jnp.broadcast_to(rays[..., None, 3:6], (SB, B, K, 3))
+        viewdirs = viewdirs.reshape(SB, B * K, 3)
+        return features_fn(points, viewdirs)
+    return features_fn(points, None)
 
 
 def _format(out: Dict[str, jax.Array], want_weights: bool) -> Dict[str, jax.Array]:

@@ -164,3 +164,83 @@ def test_chunked_matches_unchunked():
     assert out["fine"]["rgb"].shape == (1, 32, 3)
     r = np.asarray(out["fine"]["rgb"])
     assert np.isfinite(r).all() and r.min() >= 0.0 and r.max() <= 1.0
+
+
+def test_staged_render_matches_plain():
+    """The staged (features/mlp split, coarse-feature-reuse) render path must
+    be bit-identical to the plain path: same sample draws, same field values,
+    outputs permuted by argsort(z) instead of queried in sorted order."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import numpy as np
+
+    from pixelnerf_tpu.config import load_config
+    from pixelnerf_tpu.models import make_model
+    from pixelnerf_tpu.utils import geometry
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    conf = load_config(os.path.join(REPO, "conf", "exp", "sn64.conf"))
+    conf["model"]["mlp_coarse"]["d_hidden"] = 64
+    conf["model"]["mlp_fine"]["d_hidden"] = 64
+    conf["model"]["encoder"]["num_layers"] = 2
+    net = make_model(conf["model"])
+
+    rng = np.random.default_rng(7)
+    SB, NS, H, W = 2, 2, 32, 32
+    images = jnp.asarray(rng.uniform(-1, 1, (SB, NS, H, W, 3)).astype(np.float32))
+    poses = jnp.asarray(
+        np.stack(
+            [
+                np.stack(
+                    [
+                        geometry.look_at(
+                            np.array([0.4 * v + 0.1, 0.2, 2.0], np.float32),
+                            np.zeros(3),
+                        )
+                        for v in range(NS)
+                    ]
+                )
+                for _ in range(SB)
+            ]
+        )
+    )
+    focal = jnp.asarray(np.float32(40.0))
+    variables = net.init(
+        jax.random.PRNGKey(0), images, poses, focal,
+        jnp.zeros((SB, 8, 3)), jnp.ones((SB, 8, 3)),
+    )
+    enc = net.apply(variables, images, poses, focal, method=net.encode)
+    rays = geometry.gen_rays(poses[:, 0], W, H, focal, 1.0, 3.0).reshape(SB, -1, 8)
+    rays = rays[:, :64]
+    cfg = RenderConfig(n_coarse=8, n_fine=6, n_fine_depth=3, white_bkgd=True)
+
+    def query_fn(xyz, viewdirs, coarse):
+        return net.apply(
+            variables, enc, xyz, viewdirs=viewdirs, coarse=coarse,
+            method=net.query,
+        )
+
+    def features_fn(xyz, viewdirs):
+        return net.apply(
+            variables, enc, xyz, viewdirs=viewdirs, method=net.query_features
+        )
+
+    def mlp_fn(feats, coarse):
+        return net.apply(
+            variables, enc, feats, coarse=coarse, method=net.query_mlp
+        )
+
+    key = jax.random.PRNGKey(3)
+    plain = render_rays(query_fn, rays, key, cfg, want_weights=True)
+    staged = render_rays((features_fn, mlp_fn), rays, key, cfg, want_weights=True)
+    for branch in ("coarse", "fine"):
+        for k in plain[branch]:
+            np.testing.assert_allclose(
+                np.asarray(staged[branch][k]),
+                np.asarray(plain[branch][k]),
+                atol=1e-5,
+                rtol=1e-5,
+                err_msg=f"{branch}/{k}",
+            )
