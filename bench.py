@@ -116,6 +116,45 @@ def main():
     dt = time.perf_counter() - t0
 
     rays_per_sec = n_rays * n_iters / dt
+
+    # --- analytic MFU: model FLOPs per ray at this fidelity vs chip peak ---
+    mlp = net.mlp_coarse
+    n_lin_z = min(mlp.combine_layer, mlp.n_blocks)
+    dh, dl, din = mlp.d_hidden, mlp.d_latent, mlp.d_in
+    macs_per_pt = din * dh + dl * n_lin_z * dh + mlp.n_blocks * 2 * dh * dh + dh * 4
+    pts_per_ray = cfg.n_coarse + (cfg.n_coarse + cfg.n_fine)
+    flops_per_ray = 2 * macs_per_pt * pts_per_ray
+    V5E_BF16_PEAK = 197e12
+    mfu = rays_per_sec * flops_per_ray / V5E_BF16_PEAK
+
+    # --- multi-chip story: virtual-mesh scaling subprocess (VERDICT #10) ---
+    mesh = None
+    if os.environ.get("BENCH_MESH", "1") == "1":
+        import subprocess
+
+        root = os.path.dirname(os.path.abspath(__file__))
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        flags = [
+            f for f in env.get("XLA_FLAGS", "").split()
+            if "host_platform_device_count" not in f
+        ]
+        flags.append("--xla_force_host_platform_device_count=8")
+        env["XLA_FLAGS"] = " ".join(flags)
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.join(root, "scripts", "mesh_bench.py")],
+                env=env, cwd=root, capture_output=True, text=True, timeout=300,
+            )
+            for line in reversed(proc.stdout.strip().splitlines()):
+                try:
+                    mesh = json.loads(line)
+                    break
+                except ValueError:
+                    continue
+        except Exception:
+            mesh = None
+
     print(
         json.dumps(
             {
@@ -123,6 +162,12 @@ def main():
                 "value": round(rays_per_sec, 1),
                 "unit": "rays/s",
                 "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 4),
+                "model_tflops_per_sec": round(
+                    rays_per_sec * flops_per_ray / 1e12, 1
+                ),
+                "mfu_vs_v5e_bf16_peak": round(mfu, 3),
+                "flops_per_ray": flops_per_ray,
+                "mesh_scaling": mesh,
             }
         )
     )

@@ -72,11 +72,16 @@ def normalize_image(img_rgb: np.ndarray, mask: np.ndarray, size: int = 128,
     contour = max(contours, key=cv2.contourArea)
     if len(contour) < 5:
         return None
-    (cx, cy), (minor, major), _angle = cv2.fitEllipse(contour)
-    radius = max(minor * scale_minor, major * scale_major) / 2.0
-
-    x0, y0 = int(round(cx - radius)), int(round(cy - radius))
-    x1, y1 = int(round(cx + radius)), int(round(cy + radius))
+    (cx, cy), axes, _angle = cv2.fitEllipse(contour)
+    # cv2 reports (width, height) of the rotated rect, unsorted — the
+    # reference sorts (preproc.py:243) before scaling
+    minor, major = min(axes), max(axes)
+    radius = int(
+        np.ceil(max(minor * scale_minor, major * scale_major) / 2.0)
+    )
+    ccen, rcen = int(round(cx)), int(round(cy))
+    x0, y0 = ccen - radius, rcen - radius
+    x1, y1 = ccen + radius, rcen + radius
     h, w = img_rgb.shape[:2]
     pad_l, pad_t = max(0, -x0), max(0, -y0)
     pad_r, pad_b = max(0, x1 - w), max(0, y1 - h)

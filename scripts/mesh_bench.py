@@ -1,0 +1,100 @@
+"""Virtual-mesh render scaling check (invoked by bench.py in a subprocess).
+
+Renders the same ray batch on an N-device (data, ray) mesh and on a single
+device, verifies the sharded result matches, and reports the throughput
+ratio. Runs on a VIRTUAL CPU mesh (one host timeshared by N XLA devices),
+so the ratio validates the sharded execution path, not hardware scaling —
+ray sharding is communication-free, so on real chips throughput scales
+with chip count by construction (tests/test_sharding.py pins equality on
+1x8 / 2x4 / 4x2 meshes).
+
+Prints one JSON line: {"devices": N, "match": bool, "scaling": ratio, ...}
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pixelnerf_tpu.config import load_config
+    from pixelnerf_tpu.models import make_model
+    from pixelnerf_tpu.parallel.mesh import make_mesh, replicate
+    from pixelnerf_tpu.parallel.render import make_sharded_render, shard_rays
+    from pixelnerf_tpu.render.renderer import RenderConfig
+    from pixelnerf_tpu.utils import geometry
+
+    n_dev = jax.device_count()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    conf = load_config(os.path.join(root, "conf", "exp", "srn.conf"))
+    conf["model"]["mlp_coarse"]["d_hidden"] = 64
+    conf["model"]["mlp_fine"]["d_hidden"] = 64
+    conf["model"]["encoder"]["num_layers"] = 2
+    net = make_model(conf["model"])
+    cfg = RenderConfig(n_coarse=8, n_fine=8, n_fine_depth=4, white_bkgd=True)
+
+    SB, NS, H, W = 1, 1, 64, 64
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.uniform(-1, 1, (SB, NS, H, W, 3)).astype(np.float32))
+    pose = geometry.look_at(np.array([0, 0, 1.3], np.float32), np.zeros(3))
+    poses = jnp.asarray(pose[None, None])
+    focal = jnp.asarray(np.float32(65.0))
+    variables = net.init(
+        jax.random.PRNGKey(0), images, poses, focal,
+        jnp.zeros((SB, 8, 3)), jnp.ones((SB, 8, 3)),
+    )
+    enc = net.apply(variables, images, poses, focal, method=net.encode)
+    n_rays = 4096
+    rays = jnp.asarray(
+        np.asarray(geometry.gen_rays(poses[:, 0], W, H, focal, 0.8, 1.8))
+        .reshape(1, -1, 8)[:, :n_rays]
+    )
+    key = jax.random.PRNGKey(1)
+
+    def bench(mesh):
+        render = make_sharded_render(net, cfg, mesh)
+        r = shard_rays(mesh, rays)
+        out = render(variables, enc, r, key)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            out = render(variables, enc, r, key)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / 3, out
+
+    mesh_n = make_mesh(data=1, devices=jax.devices()[:n_dev])
+    mesh_1 = make_mesh(data=1, devices=jax.devices()[:1])
+    t_n, out_n = bench(mesh_n)
+    t_1, out_1 = bench(mesh_1)
+    match = bool(
+        np.allclose(
+            np.asarray(out_n["fine"]["rgb"]),
+            np.asarray(out_1["fine"]["rgb"]),
+            atol=1e-5,
+        )
+    )
+    print(
+        json.dumps(
+            {
+                "devices": n_dev,
+                "match": match,
+                "rays_per_sec_mesh": round(n_rays / t_n, 1),
+                "rays_per_sec_1dev": round(n_rays / t_1, 1),
+                "scaling": round(t_1 / t_n, 3),
+                "note": "virtual CPU mesh (one host); validates sharded path, "
+                "not hardware scaling",
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -200,3 +200,46 @@ def test_eval_cli_write_depth_and_coarse(workdir):
     assert depth.min() >= -0.5 - 1e-5 and depth.max() <= 1.0 + 1e-5
     norms = glob.glob(os.path.join(workdir, "eval_depth", "*", "*_depth_norm.png"))
     assert norms, "no colormapped depth written"
+
+
+def test_normalize_image_radius_formula():
+    """Pin the ellipse-crop radius to the reference formula
+    max(minor*4.37, major*0.8)/2 with sorted axes + ceil rounding
+    (reference scripts/preproc.py:243,268-270)."""
+    import cv2
+    import numpy as np
+
+    from pixelnerf_tpu.apps.preproc import normalize_image
+
+    # axis-aligned ellipse mask: semi-axes (a=30 along x, b=12 along y)
+    h = w = 256
+    yy, xx = np.mgrid[0:h, 0:w]
+    a, b, cx, cy = 30.0, 12.0, 131.0, 127.0
+    mask = (
+        (((xx - cx) / a) ** 2 + ((yy - cy) / b) ** 2 <= 1.0)
+    ).astype(np.uint8) * 255
+    img = np.full((h, w, 3), 90, np.uint8)
+
+    out = normalize_image(img, mask, size=64)
+    assert out is not None and out.shape == (64, 64, 3)
+
+    # independently compute the crop the reference math would take
+    contours, _ = cv2.findContours(mask, cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE)
+    (ecx, ecy), axes, _ = cv2.fitEllipse(max(contours, key=cv2.contourArea))
+    minor, major = min(axes), max(axes)
+    rad = int(np.ceil(max(minor * 4.37, major * 0.8) / 2.0))
+    # minor axis ~2b=24 -> 24*4.37/2 = 52.4; major ~2a=60 -> 60*0.8/2 = 24
+    # the minor-axis term must win for this elongated shape
+    assert rad == int(np.ceil(minor * 4.37 / 2.0))
+    assert abs(minor - 2 * b) < 2.0 and abs(major - 2 * a) < 2.0
+
+    # the white padding outside the image must appear in the crop:
+    # radius (>= 52) exceeds the distance to the top edge? no (cy=127) —
+    # but the crop must be square 2*rad on a side pre-resize; check the
+    # content scale instead: the object's horizontal extent in the 64px
+    # output is 2a/(2*rad) * 64 pixels
+    grey = np.where(np.all(out < 200, axis=-1))
+    if grey[0].size:
+        width_px = grey[1].max() - grey[1].min() + 1
+        expected = 2 * a / (2 * rad) * 64
+        assert abs(width_px - expected) < 6
