@@ -27,6 +27,7 @@ class FullRenderer:
         ray_chunk: int = 50000,
         want_weights: bool = False,
         fast: bool = False,
+        staged: bool = True,
     ):
         self.net = net
         self.cfg = cfg
@@ -41,8 +42,23 @@ class FullRenderer:
                     fast=fast, method=net.query,
                 )
 
+            def features_fn(xyz, viewdirs):
+                return net.apply(
+                    variables, enc, xyz, viewdirs=viewdirs,
+                    method=net.query_features,
+                )
+
+            def mlp_fn(feats, coarse):
+                return net.apply(
+                    variables, enc, feats, coarse=coarse, fast=fast,
+                    method=net.query_mlp,
+                )
+
+            # staged = fine pass reuses coarse-sample features; bit-identical
+            # and ~11% faster (see render_rays docstring / PERF.md)
+            q = (features_fn, mlp_fn) if staged else query_fn
             return render_rays(
-                query_fn, rays, rng, cfg,
+                q, rays, rng, cfg,
                 want_weights=want_weights, use_viewdirs=net.use_viewdirs,
             )
 

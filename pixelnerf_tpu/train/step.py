@@ -57,22 +57,32 @@ def make_train_step(
         else:
             enc, new_stats = enc_out, batch_stats
 
-        def query_fn(xyz, viewdirs, coarse):
+        # staged query: the fine pass reuses the coarse samples' gathered
+        # features (bit-identical values => identical gradients; see
+        # render_rays). The feature stage is the gather-bound part, so this
+        # also trims the backward's scatter-add work.
+        def features_fn(xyz, viewdirs):
             return net.apply(
-                variables, enc, xyz, viewdirs=viewdirs, coarse=coarse,
-                method=net.query,
+                variables, enc, xyz, viewdirs=viewdirs,
+                method=net.query_features,
             )
 
+        def mlp_fn(feats, coarse):
+            return net.apply(
+                variables, enc, feats, coarse=coarse, method=net.query_mlp
+            )
+
+        q = (features_fn, mlp_fn)
         if ray_chunk is not None and batch["rays"].shape[1] > ray_chunk:
             # scan over ray microbatches to bound activation memory at large
             # per-object ray counts; gradients flow through the scan
             outputs = render_rays_chunked(
-                query_fn, batch["rays"], rng, cfg, ray_chunk, train=True,
+                q, batch["rays"], rng, cfg, ray_chunk, train=True,
                 use_viewdirs=net.use_viewdirs, remat=True,
             )
         else:
             outputs = render_rays(
-                query_fn, batch["rays"], rng, cfg, train=True,
+                q, batch["rays"], rng, cfg, train=True,
                 use_viewdirs=net.use_viewdirs,
             )
         loss, metrics = loss_fn(outputs, batch["rgb_gt"])

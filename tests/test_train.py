@@ -59,7 +59,9 @@ def test_overfit_single_object():
     )
     rng = jax.random.PRNGKey(1)
     losses = []
-    for i in range(120):  # ~1 min on CPU; overfits one object clearly
+    for i in range(160):  # ~1.5 min on CPU; overfits one object clearly
+        # (160 not 120: at 120 the held-out PSNR margin was ~2 dB and
+        # flipped sign under fusion-order-level numeric noise)
         batch = {k: jnp.asarray(v) for k, v in next(it).items() if k != "step"}
         rng, key = jax.random.split(rng)
         state, m = step(state, batch, key)
