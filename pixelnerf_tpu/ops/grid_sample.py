@@ -10,6 +10,10 @@ nearest mode for completeness) as pure XLA: four flat gathers + a lerp. XLA
 fuses the address arithmetic and the gathers are differentiable (the
 transpose is a scatter-add into the feature map, which training needs).
 
+Pallas VMEM-resident variants live in ``gather_pallas.py``; on v5e they
+exactly tie XLA's gather (dynamic sub-tile row access is a ~27 cycle/point
+hardware floor — see PERF.md), so this XLA path stays the default.
+
 Layout is NHWC (TPU-native), not the reference's NCHW.
 """
 from __future__ import annotations
