@@ -297,6 +297,13 @@ class PixelNeRFNet(nn.Module):
             if self.use_global_encoder:
                 glob = ImageEncoder.index(enc.global_latent, latent)  # (SB*NS, B, G)
                 latent = jnp.concatenate([glob, latent], axis=-1)
+        # emit in the MLP's compute dtype: ResnetFC casts its inputs anyway,
+        # so this is value-identical but halves the staged path's feature
+        # materialization traffic under bf16
+        dt = getattr(self.mlp_coarse, "dtype", None)
+        if dt is not None:
+            latent = latent.astype(dt) if latent is not None else None
+            z_feature = z_feature.astype(dt) if z_feature is not None else None
         return latent, z_feature
 
     def query_mlp(

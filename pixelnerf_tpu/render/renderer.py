@@ -278,16 +278,20 @@ def render_rays(
                 use_viewdirs,
             )
         else:
-            z_new = jnp.concatenate(new_samps, axis=-1)             # (SB, B, Kn)
-            Kn = z_new.shape[-1]
-            feats_n = _stage_features(features_fn, rays, z_new, use_viewdirs)
             # run the fine MLP separately on the cached-coarse and new
             # features (concatenating the 512-wide features would copy
             # ~0.8 GB/chunk; the 4-wide outputs are ~200x cheaper to merge)
             out_fc = mlp_fn(feats_c, False).reshape(SB, B, cfg.n_coarse, 4)
-            out_fn = mlp_fn(feats_n, False).reshape(SB, B, Kn, 4)
-            out_f = jnp.concatenate([out_fc, out_fn], axis=2)
-            z_all = jnp.concatenate([z_coarse, z_new], axis=-1)
+            if new_samps:
+                z_new = jnp.concatenate(new_samps, axis=-1)         # (SB, B, Kn)
+                Kn = z_new.shape[-1]
+                feats_n = _stage_features(features_fn, rays, z_new, use_viewdirs)
+                out_fn = mlp_fn(feats_n, False).reshape(SB, B, Kn, 4)
+                out_f = jnp.concatenate([out_fc, out_fn], axis=2)
+                z_all = jnp.concatenate([z_coarse, z_new], axis=-1)
+            else:
+                out_f = out_fc
+                z_all = z_coarse
             # one fused sort: z is the key, the 4 output channels ride as
             # payload (argsort + take_along_axis would be another gather)
             sorted_ops = jax.lax.sort(

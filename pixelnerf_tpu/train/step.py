@@ -131,14 +131,20 @@ def make_eval_step(net, cfg: RenderConfig, loss_fn, mesh: Optional[Mesh] = None)
             c=batch.get("c"), method=net.encode,
         )
 
-        def query_fn(xyz, viewdirs, coarse):
+        def features_fn(xyz, viewdirs):
             return net.apply(
-                variables, enc, xyz, viewdirs=viewdirs, coarse=coarse,
-                method=net.query,
+                variables, enc, xyz, viewdirs=viewdirs,
+                method=net.query_features,
+            )
+
+        def mlp_fn(feats, coarse):
+            return net.apply(
+                variables, enc, feats, coarse=coarse, method=net.query_mlp
             )
 
         outputs = render_rays(
-            query_fn, batch["rays"], rng, cfg, use_viewdirs=net.use_viewdirs
+            (features_fn, mlp_fn), batch["rays"], rng, cfg,
+            use_viewdirs=net.use_viewdirs,
         )
         _, metrics = loss_fn(outputs, batch["rgb_gt"])
         return metrics
