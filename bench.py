@@ -71,8 +71,15 @@ def main():
     fast = os.environ.get("BENCH_FAST", "0") == "1"
 
     # staged render: fine pass reuses the coarse samples' gathered features
-    # (exact; see render_rays docstring). ~40% fewer gather points.
+    # (exact; see render_rays docstring). ~40% fewer gather points. Feature
+    # reuse across passes is only valid when the gather output is MLP-
+    # agnostic: a baked encoding holds per-MLP injection maps, so staged +
+    # baked (with a separate fine MLP) must fall back to the unstaged path.
     staged = os.environ.get("BENCH_STAGED", "1") == "1"
+    baked = os.environ.get("BENCH_BAKED", "0") == "1"
+    if staged and baked and net.mlp_fine is not None:
+        print("# staged disabled: baked encodings are per-MLP", file=sys.stderr)
+        staged = False
 
     @jax.jit
     def render(variables, enc, rays, key):
@@ -121,7 +128,10 @@ def main():
     mlp = net.mlp_coarse
     n_lin_z = min(mlp.combine_layer, mlp.n_blocks)
     dh, dl, din = mlp.d_hidden, mlp.d_latent, mlp.d_in
-    macs_per_pt = din * dh + dl * n_lin_z * dh + mlp.n_blocks * 2 * dh * dh + dh * 4
+    # a baked encoding folds the lin_z GEMMs into the feature map at encode,
+    # so those MACs are not executed per point — exclude them from the MFU
+    lin_z_macs = 0 if baked else dl * n_lin_z * dh
+    macs_per_pt = din * dh + lin_z_macs + mlp.n_blocks * 2 * dh * dh + dh * 4
     pts_per_ray = cfg.n_coarse + (cfg.n_coarse + cfg.n_fine)
     flops_per_ray = 2 * macs_per_pt * pts_per_ray
     V5E_BF16_PEAK = 197e12

@@ -239,6 +239,9 @@ def run_reduce(args):
         n_objs += 1
         with open(metrics_path) as f:
             rows = [line.split() for line in f if line.strip()]
+        # keep only known metric lines: metrics.txt may carry extra
+        # bookkeeping rows (e.g. an 'n <count>' line from older writers)
+        rows = [r for r in rows if r[0] in METRIC_NAMES]
         if cats:
             cat_name = osp.basename(obj_root).split("_")[0]
             if cat_name in cat_sz:

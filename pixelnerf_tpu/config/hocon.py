@@ -162,8 +162,13 @@ def _parse_lines(lines: Iterator[Tuple[int, str]], base_dir: str) -> ConfigNode:
         if m:
             key, val = m.group(1), m.group(2)
             if val == "{":
+                # HOCON merges duplicate keys when both values are objects,
+                # for every syntax form ('key {', 'key = {', 'key: {')
                 child = _parse_lines(lines, base_dir)
-                dict.__setitem__(node, key, child)
+                if key in node and isinstance(node.get(key), ConfigNode):
+                    dict.__getitem__(node, key).merge(child)
+                else:
+                    dict.__setitem__(node, key, child)
             else:
                 dict.__setitem__(node, key, _parse_value(val))
             continue

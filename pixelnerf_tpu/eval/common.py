@@ -55,8 +55,18 @@ class FullRenderer:
                 )
 
             # staged = fine pass reuses coarse-sample features; bit-identical
-            # and ~11% faster (see render_rays docstring / PERF.md)
-            q = (features_fn, mlp_fn) if staged else query_fn
+            # and ~11% faster (see render_rays docstring / PERF.md).
+            # Reuse is only valid when gathered features are MLP-agnostic:
+            # baked encodings (bake_encoding) hold *per-MLP* injection maps,
+            # so with a separate fine MLP the staged pair would feed the fine
+            # MLP the coarse MLP's injections — fall back to unstaged there.
+            # (tz_coarse is None / not-None is a pytree-structure property,
+            # so this branch is resolved at trace time.)
+            baked_per_mlp = (
+                getattr(enc, "tz_coarse", None) is not None
+                and net.mlp_fine is not None
+            )
+            q = (features_fn, mlp_fn) if (staged and not baked_per_mlp) else query_fn
             return render_rays(
                 q, rays, rng, cfg,
                 want_weights=want_weights, use_viewdirs=net.use_viewdirs,

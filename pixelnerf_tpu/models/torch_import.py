@@ -230,10 +230,18 @@ def load_pretrained_encoder(variables: Dict[str, Dict], path: str) -> Dict[str, 
         return out
 
     new_vars = dict(variables)
+    if "encoder" not in new_vars.get("params", {}):
+        raise ValueError("model has no spatial encoder to initialize")
     for col in ("params", "batch_stats"):
         tree = dict(new_vars.get(col, {}))
-        if "encoder" not in tree:
-            raise ValueError("model has no spatial encoder to initialize")
+        if col == "batch_stats" and "encoder" not in tree:
+            # an encoder without BatchNorm (e.g. the GroupNorm ConvEncoder)
+            # carries no running stats; grafting params alone is the whole
+            # import for it — but such encoders also have a non-resnet
+            # param structure, so graft() above will already have raised a
+            # precise missing-module error. Reaching here means the encoder
+            # genuinely has no stats collection: nothing to import.
+            continue
         enc = dict(tree["encoder"])
         enc["model"] = graft(enc["model"], imported[col]["model"], (col, "model"))
         tree["encoder"] = enc

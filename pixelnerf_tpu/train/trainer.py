@@ -258,6 +258,16 @@ class Trainer:
 
                 self.post_batch(epoch, batch_idx)
             save_checkpoint(self.ckpt_dir, self.state)
+        # flush the deferred interval so the run's final metrics (and a short
+        # run's only metrics) are printed and logged
+        if pending is not None:
+            p_epoch, p_bidx, p_step, p_metrics = pending
+            p_metrics = {k: float(v) for k, v in p_metrics.items()}
+            print(
+                f"E{p_epoch} B{p_bidx} "
+                + " ".join(f"{k}:{v:.5f}" for k, v in p_metrics.items())
+            )
+            self._log("train", p_metrics, p_step)
 
     def _save_visual(self, vis: np.ndarray, epoch: int, batch_idx: int):
         import imageio.v2 as imageio

@@ -39,22 +39,9 @@ def timeit(fn, *args, iters=20):
     return (time.perf_counter() - t0) / iters
 
 
-def k_block_mask(idx_ref, w_ref, table_ref, out_ref):
-    def body(j, _):
-        acc = jnp.zeros((1, C), jnp.float32)
-        for k in range(4):
-            i = idx_ref[j, k]
-            q = (i // 8) * 8
-            r = i - q
-            block = table_ref[pl.ds(q, 8), :].astype(jnp.float32)
-            sel = (
-                jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0) == r
-            ).astype(jnp.float32)
-            acc += w_ref[j, k] * jnp.sum(block * sel, axis=0, keepdims=True)
-        out_ref[pl.ds(j, 1), :] = acc.astype(out_ref.dtype)
-        return 0
+from probe_gather_kernels import make_block_mask_kernel  # noqa: E402
 
-    jax.lax.fori_loop(0, TILE, body, 0)
+k_block_mask = make_block_mask_kernel(C, TILE)
 
 
 @functools.partial(jax.jit, static_argnames=())

@@ -87,24 +87,31 @@ def k_adv_index(idx_ref, w_ref, table_ref, out_ref):
     out_ref[:] = acc.astype(out_ref.dtype)
 
 
-def k_block_mask(idx_ref, w_ref, table_ref, out_ref):
-    """Aligned 8-row block load + sublane one-hot reduce."""
+def make_block_mask_kernel(n_chan: int, tile: int):
+    """Aligned 8-row block load + sublane one-hot reduce (shared with
+    scripts/bench_gather_pallas.py, which times it at full scale)."""
 
-    def body(j, _):
-        acc = jnp.zeros((1, C), jnp.float32)
-        for k in range(4):
-            i = idx_ref[j, k]
-            q = (i // 8) * 8
-            r = i - q
-            block = table_ref[pl.ds(q, 8), :].astype(jnp.float32)   # (8, C)
-            sel = (
-                jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0) == r
-            ).astype(jnp.float32)
-            acc += w_ref[j, k] * jnp.sum(block * sel, axis=0, keepdims=True)
-        out_ref[pl.ds(j, 1), :] = acc.astype(out_ref.dtype)
-        return 0
+    def k_block_mask(idx_ref, w_ref, table_ref, out_ref):
+        def body(j, _):
+            acc = jnp.zeros((1, n_chan), jnp.float32)
+            for k in range(4):
+                i = idx_ref[j, k]
+                q = (i // 8) * 8
+                r = i - q
+                block = table_ref[pl.ds(q, 8), :].astype(jnp.float32)  # (8, C)
+                sel = (
+                    jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0) == r
+                ).astype(jnp.float32)
+                acc += w_ref[j, k] * jnp.sum(block * sel, axis=0, keepdims=True)
+            out_ref[pl.ds(j, 1), :] = acc.astype(out_ref.dtype)
+            return 0
 
-    jax.lax.fori_loop(0, TILE, body, 0)
+        jax.lax.fori_loop(0, tile, body, 0)
+
+    return k_block_mask
+
+
+k_block_mask = make_block_mask_kernel(C, TILE)
 
 
 def main():

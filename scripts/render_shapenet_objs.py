@@ -113,7 +113,6 @@ def _parse_args(argv):
 
 def _import_normalized(bpy, model_dir, model_path, rng):
     """Import an OBJ, join meshes, random z-spin, diameter ~2, rest on z=0."""
-    from mathutils import Vector
 
     for o in bpy.data.objects:
         o.select_set(False)
@@ -131,14 +130,24 @@ def _import_normalized(bpy, model_dir, model_path, rng):
     obj = sel[0]
     obj.rotation_euler[2] = rng.uniform(0.0, 2.0 * np.pi)
 
-    verts = np.array([v.co for v in obj.data.vertices])
-    lo = obj.matrix_world @ Vector(verts.min(axis=0))
-    hi = obj.matrix_world @ Vector(verts.max(axis=0))
-    scale = 2.0 / max(abs(c) for c in (hi - lo))
+    def world_bbox():
+        # matrix_world is stale until the depsgraph re-evaluates, and the
+        # bbox of a rotated mesh is the bbox of its *transformed* vertices
+        # (transforming the two local min/max corners is wrong under
+        # rotation) — so update, then transform every vertex
+        bpy.context.view_layer.update()
+        m = np.array(obj.matrix_world)
+        verts = np.array([v.co[:] for v in obj.data.vertices])
+        world = verts @ m[:3, :3].T + m[:3, 3]
+        return world.min(axis=0), world.max(axis=0)
+
+    lo, hi = world_bbox()
+    scale = 2.0 / float((hi - lo).max())
     obj.scale = (scale, scale, scale)
-    lo, hi = lo * scale, hi * scale
+    lo, hi = world_bbox()              # recompute with the scale applied
     obj.location[2] -= lo[2]
-    return obj, (np.array(lo), np.array(hi) - np.array([0, 0, lo[2]]))
+    shift = np.array([0.0, 0.0, lo[2]])
+    return obj, (lo - shift, hi - shift)
 
 
 def _place_and_camera(bpy, objs, bbs):

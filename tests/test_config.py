@@ -91,3 +91,21 @@ def test_include_later_wins_order(tmp_path):
     assert conf.get_int("a") == 1        # include beats pre-include key
     assert conf["blk"].get_int("x") == 10
     assert conf["blk"].get_int("y") == 99  # post-include key beats include
+
+
+def test_kv_object_form_merges(tmp_path):
+    """HOCON merges duplicate object-valued keys for every syntax form:
+    'key = { ... }' after an include must merge into the included subtree,
+    not replace it (the reference's conf tree relies on this when a leaf
+    conf overrides one nested model key)."""
+    (tmp_path / "base.conf").write_text(
+        "model {\n use_xyz = true\n mlp {\n d_hidden = 128\n blocks = 5\n}\n}\n"
+    )
+    (tmp_path / "child.conf").write_text(
+        'include required("base.conf")\n'
+        "model = {\n mlp = {\n d_hidden = 256\n}\n}\n"
+    )
+    conf = load_config(str(tmp_path / "child.conf"))
+    assert conf["model"].get_bool("use_xyz") is True      # preserved
+    assert conf["model.mlp"].get_int("blocks") == 5       # preserved
+    assert conf["model.mlp"].get_int("d_hidden") == 256   # overridden

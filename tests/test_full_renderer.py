@@ -56,6 +56,51 @@ def test_chunk_padding():
         assert d.min() >= 0.0 and d.max() <= 3.0 + 1e-5
 
 
+def test_staged_renderer_with_baked_encoding_matches_unbaked():
+    """A baked encoding holds *per-MLP* injection maps, so the staged
+    renderer (which gathers features once and reuses them for the fine
+    pass) must fall back to the unstaged path rather than feed the fine
+    MLP the coarse MLP's baked injections. Rendering a baked encoding
+    through the default (staged) FullRenderer must therefore agree with
+    the unbaked render exactly."""
+    from pixelnerf_tpu.models import bake_encoding
+
+    conf = load_config(os.path.join(REPO, "conf", "exp", "sn64.conf"))
+    conf["model"]["mlp_coarse"]["d_hidden"] = 32
+    conf["model"]["mlp_fine"]["d_hidden"] = 32      # separate fine MLP
+    conf["model"]["encoder"]["num_layers"] = 2
+    net = make_model(conf["model"])
+    assert net.mlp_fine is not None
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.uniform(-1, 1, (1, 1, 16, 16, 3)).astype(np.float32))
+    poses = jnp.asarray(
+        np.stack([geometry.look_at(np.array([0.2, 0.1, 2.0], np.float32),
+                                   np.zeros(3))])[:, None]
+    )
+    focal = jnp.asarray(np.float32(20.0))
+    variables = net.init(
+        jax.random.PRNGKey(0), images, poses, focal,
+        jnp.zeros((1, 4, 3)), jnp.ones((1, 4, 3)),
+    )
+    enc = net.apply(variables, images, poses, focal, method=net.encode)
+    baked = bake_encoding(net, variables, enc)
+    rays = np.asarray(
+        geometry.gen_rays(poses[:, 0], 16, 16, focal, 1.0, 3.0)
+    ).reshape(-1, 8)
+
+    cfg = RenderConfig(n_coarse=8, n_fine=4)
+    key = jax.random.PRNGKey(7)
+    fr = FullRenderer(net, cfg, ray_chunk=256, staged=True)
+    out_plain = fr(variables, enc, rays, key)
+    out_baked = fr(variables, baked, rays, key)
+    np.testing.assert_allclose(
+        out_baked["fine"]["rgb"], out_plain["fine"]["rgb"], rtol=0, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        out_baked["coarse"]["rgb"], out_plain["coarse"]["rgb"], rtol=0, atol=2e-5
+    )
+
+
 def test_render_batch_shapes_and_sanity():
     """Batched-object rendering returns (SB, NR, ...) results with each
     object conditioned on its own encoding."""
