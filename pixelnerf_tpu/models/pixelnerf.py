@@ -48,6 +48,9 @@ class SceneEncoding:
     # applied to the feature map at encode time, (SB*NS, Hl, Wl, n_lin_z*dh).
     tz_coarse: Optional[jax.Array] = None
     tz_fine: Optional[jax.Array] = None
+    # LR-packed int32 feature rows (SB*NS, Hl*Wl, C) for the fused
+    # gather+MLP kernel (see pack_encoding / ops/fused_field.py).
+    latent_packed: Optional[jax.Array] = None
 
 
 def _normalize_intrinsic(v, batch: int, name: str, num_views: int = 1) -> jax.Array:
@@ -200,22 +203,12 @@ class PixelNeRFNet(nn.Module):
         feats = self.query_features(enc, xyz, viewdirs=viewdirs, coarse=coarse)
         return self.query_mlp(enc, feats, coarse=coarse, fast=fast)
 
-    def query_features(
-        self,
-        enc: SceneEncoding,
-        xyz: jax.Array,
-        viewdirs: Optional[jax.Array] = None,
-        coarse: bool = True,
-    ):
-        """The per-point *feature* stage of ``query``: camera transform,
-        uv projection, pixel-aligned gather, positional code. Split out so
-        the renderer's staged path can reuse coarse-sample features in the
-        fine pass (the gather is the non-GEMM hot op; reference
-        src/model/encoder.py:102-108). ``coarse`` only matters for baked
-        encodings (per-MLP tz maps).
+    def _point_inputs(self, enc: SceneEncoding, xyz, viewdirs):
+        """Camera transform + spatial code + uv projection — the per-point
+        precompute shared by :meth:`query_features` and :meth:`query_fused`.
 
-        :return: (latent, z_feature) tuple of (SB*NS, B, D) arrays (either
-            may be None), consumable by :meth:`query_mlp`.
+        :return: (z_feature (SB*NS, B, d_in) or None,
+                  uv (SB*NS, B, 2) pixel coords or None)
         """
         SB, B, _ = xyz.shape
         NS = enc.num_views
@@ -247,7 +240,7 @@ class PixelNeRFNet(nn.Module):
                 z_feature = self.code(z_feature)
             z_feature = z_feature.reshape(SB * NS, B, d_in)
 
-        latent = None
+        uv = None
         if self.use_encoder:
             uv = -xyz_cam[..., :2] / xyz_cam[..., 2:3]             # (SB*NS, B, 2)
             # intrinsics may already be per-view (SB*NS, 2)
@@ -258,6 +251,28 @@ class PixelNeRFNet(nn.Module):
             )
             cc = enc.c if enc.c.shape[0] == SB * NS else repeat_interleave(enc.c, NS)
             uv = uv * focal[:, None, :] + cc[:, None, :]
+        return z_feature, uv
+
+    def query_features(
+        self,
+        enc: SceneEncoding,
+        xyz: jax.Array,
+        viewdirs: Optional[jax.Array] = None,
+        coarse: bool = True,
+    ):
+        """The per-point *feature* stage of ``query``: camera transform,
+        uv projection, pixel-aligned gather, positional code. Split out so
+        the renderer's staged path can reuse coarse-sample features in the
+        fine pass (the gather is the non-GEMM hot op; reference
+        src/model/encoder.py:102-108). ``coarse`` only matters for baked
+        encodings (per-MLP tz maps).
+
+        :return: (latent, z_feature) tuple of (SB*NS, B, D) arrays (either
+            may be None), consumable by :meth:`query_mlp`.
+        """
+        z_feature, uv = self._point_inputs(enc, xyz, viewdirs)
+        latent = None
+        if self.use_encoder:
             tz_map = None
             if enc.tz_coarse is not None and self.global_encoder is None:
                 tz_map = (
@@ -344,6 +359,67 @@ class PixelNeRFNet(nn.Module):
         rgb = nn.sigmoid(out[..., :3])
         sigma = nn.relu(out[..., 3:4])
         return jnp.concatenate([rgb, sigma], axis=-1)
+
+    def query_fused(
+        self,
+        enc: SceneEncoding,
+        xyz: jax.Array,
+        viewdirs: Optional[jax.Array] = None,
+        coarse: bool = True,
+    ) -> jax.Array:
+        """``query`` through the single-kernel gather+MLP path
+        (ops/fused_field.py): the pixel-aligned gather runs inside the
+        conditioned MLP's Pallas kernel, software-pipelined against the
+        GEMMs. Same math as ``query`` (reference models.py:146-266).
+
+        Requires: a :func:`pack_encoding`'d single-scene single-view
+        encoding (``SB*NS == 1``), spatial encoder only, bilinear/border
+        indexing, and an unbaked ResnetFC in bf16 — the conditions under
+        which the kernel is exact vs the XLA path. Inference only.
+        """
+        assert enc.latent_packed is not None, "pack_encoding() the encoding first"
+        assert enc.latent_packed.shape[0] == 1 and enc.num_views == 1, (
+            "fused gather path is single-scene single-view"
+        )
+        assert self.use_encoder and self.global_encoder is None
+        assert self.encoder.index_interp == "bilinear"
+        assert self.encoder.index_padding == "border"
+        assert enc.tz_coarse is None, "fused path incompatible with baked tz"
+        from ..models.encoder import latent_scaling
+        from ..ops.gather_pallas import bilinear_pair_bases
+        from ..ops.grid_sample import _compute_source_index
+
+        SB, B, _ = xyz.shape
+        z_feature, uv = self._point_inputs(enc, xyz, viewdirs)
+        Hl, Wl = enc.latent.shape[1:3]
+        uvn = uv * (latent_scaling(Hl, Wl) / enc.image_shape) - 1.0
+        px = _compute_source_index(uvn[..., 0], Wl, "border", True)
+        py = _compute_source_index(uvn[..., 1], Hl, "border", True)
+        base, wg = bilinear_pair_bases(px, py, Hl, Wl)
+
+        mlp = self.mlp_coarse if (coarse or self.mlp_fine is None) else self.mlp_fine
+        out = mlp(
+            (None, z_feature),
+            combine_inner_dims=(1, B),
+            fast=True,
+            gather=(enc.latent_packed[0], base[0], wg[0]),
+        )
+        out = out.reshape(SB, B, 4)
+        rgb = nn.sigmoid(out[..., :3])
+        sigma = nn.relu(out[..., 3:4])
+        return jnp.concatenate([rgb, sigma], axis=-1)
+
+
+def pack_encoding(net: PixelNeRFNet, enc: SceneEncoding) -> SceneEncoding:
+    """Precompute the LR-packed int32 feature table consumed by the fused
+    gather+MLP kernel (:meth:`PixelNeRFNet.query_fused`). Cheap (one
+    elementwise pass over the latent map per encode); rounds the latent to
+    bf16 exactly like the default bf16 gather path."""
+    from ..ops.gather_pallas import pack_lr_table
+
+    assert net.use_encoder and enc.latent is not None
+    packed = jax.vmap(pack_lr_table)(enc.latent)
+    return enc.replace(latent_packed=packed)
 
 
 def bake_encoding(

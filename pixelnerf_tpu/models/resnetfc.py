@@ -12,7 +12,7 @@ we keep (..., d) shapes so vmap/shard_map compose).
 """
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any, Optional, Sequence
 
 import flax.linen as nn
 import jax
@@ -27,6 +27,21 @@ def _activation(beta: float):
     if beta > 0:
         return lambda x: nn.softplus(x * beta) / beta
     return nn.relu
+
+
+def _kernel_params_sub(p):
+    """Re-nest the declared param arrays into the dict layout
+    ``ops.fused_mlp.pack_weights`` consumes."""
+    sub = {"lin_in": dict(zip(("kernel", "bias"), p["lin_in"]))}
+    for i, (k, b) in enumerate(p["lin_z"]):
+        sub[f"lin_z_{i}"] = {"kernel": k, "bias": b}
+    for i, (k0, b0, k1, b1) in enumerate(p["blocks"]):
+        sub[f"block{i}"] = {
+            "fc_0": {"kernel": k0, "bias": b0},
+            "fc_1": {"kernel": k1, "bias": b1},
+        }
+    sub["lin_out"] = dict(zip(("kernel", "bias"), p["lin_out"]))
+    return sub
 
 
 class ResnetBlockFC(nn.Module):
@@ -154,6 +169,7 @@ class ResnetFC(nn.Module):
         combine_inner_dims: Sequence[int] = (1,),
         fast: bool = False,
         z_pretransformed: bool = False,
+        gather: Optional[tuple] = None,
     ) -> jax.Array:
         """:param zx: (..., d_latent + d_in) — latent first, then spatial
             code — or a tuple ``(z, x)`` kept unconcatenated (avoids
@@ -181,7 +197,8 @@ class ResnetFC(nn.Module):
             expect_z = (
                 self.n_lin_z * self.d_hidden if z_pretransformed else self.d_latent
             )
-            assert (0 if z is None else z.shape[-1]) == expect_z
+            if gather is None:
+                assert (0 if z is None else z.shape[-1]) == expect_z
             assert x.shape[-1] == self.d_in
         else:
             assert zx.shape[-1] == self.d_latent + self.d_in
@@ -197,18 +214,50 @@ class ResnetFC(nn.Module):
             len(combine_inner_dims) == 1 or combine_inner_dims[0] == 1
         ) or self.combine_layer >= self.n_blocks
 
+        if gather is not None:
+            # fused gather+MLP kernel: the pixel-aligned gather runs inside
+            # the MLP kernel, pipelined against the GEMMs (ops/fused_field).
+            # Deliberate opt-in (PixelNeRFNet.query_fused) — assert, don't
+            # silently fall back.
+            assert fast and z is None and not z_pretransformed
+            assert self._can_use_kernel(gather, x, single_view), (
+                "fused gather path requires ReLU, bf16, d_latent>0, "
+                "single-view"
+            )
+            from ..ops.fused_field import fused_gather_resnetfc_infer
+            from ..ops.fused_mlp import pack_weights as _pack_w
+
+            params_sub = _kernel_params_sub(p)
+            weights = _pack_w(
+                params_sub, self.n_blocks, self.combine_layer,
+                self.d_latent, self.d_in, self.d_hidden,
+            )
+            table, base, wg = gather
+            lead = x.shape[:-1]
+            out = fused_gather_resnetfc_infer(
+                table,
+                base.reshape(-1, 2),
+                wg.reshape(-1, 2),
+                x.reshape(-1, self.d_in),
+                weights,
+                self.n_blocks,
+                self.combine_layer,
+                interpret=jax.default_backend() != "tpu",
+            )
+            out = out[..., : self.d_out]
+            if (
+                self.combine_layer < self.n_blocks
+                and len(combine_inner_dims) > 1
+            ):
+                out = out.reshape(-1, combine_inner_dims[-1], self.d_out)
+            else:
+                out = out.reshape(*lead, self.d_out)
+            return out.astype(jnp.float32)
+
         if fast and self._can_use_kernel(z, x, single_view):
             from ..ops.fused_mlp import fused_resnetfc_infer, pack_weights
 
-            params_sub = {"lin_in": dict(zip(("kernel", "bias"), p["lin_in"]))}
-            for i, (k, b) in enumerate(p["lin_z"]):
-                params_sub[f"lin_z_{i}"] = {"kernel": k, "bias": b}
-            for i, (k0, b0, k1, b1) in enumerate(p["blocks"]):
-                params_sub[f"block{i}"] = {
-                    "fc_0": {"kernel": k0, "bias": b0},
-                    "fc_1": {"kernel": k1, "bias": b1},
-                }
-            params_sub["lin_out"] = dict(zip(("kernel", "bias"), p["lin_out"]))
+            params_sub = _kernel_params_sub(p)
             weights = pack_weights(
                 params_sub, self.n_blocks, self.combine_layer,
                 self.d_latent, self.d_in, self.d_hidden,

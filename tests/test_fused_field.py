@@ -111,3 +111,49 @@ def test_fused_field_exact_corner_hits():
         table, base, wg, x, weights, N_BLOCKS, COMBINE, interpret=True
     )
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_query_fused_matches_query(tmp_path):
+    """Model-level wiring: query_fused (packed-table fused gather+MLP) vs
+    the standard query with the fused-MLP fast path (isolates the gather
+    formulation as the only difference — both quantize to bf16)."""
+    import os as _os
+
+    from pixelnerf_tpu.config import load_config
+    from pixelnerf_tpu.models import make_model
+    from pixelnerf_tpu.models.pixelnerf import pack_encoding
+    from pixelnerf_tpu.utils import geometry
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    conf = load_config(_os.path.join(repo, "conf", "exp", "sn64.conf"))
+    conf["model"]["dtype"] = "bfloat16"
+    conf["model"]["encoder"]["num_layers"] = 2
+    net = make_model(conf["model"])
+    rng = np.random.default_rng(5)
+    images = jnp.asarray(rng.uniform(-1, 1, (1, 1, 16, 16, 3)).astype(np.float32))
+    poses = jnp.asarray(
+        np.stack([geometry.look_at(np.array([0.3, 0.2, 2.0], np.float32),
+                                   np.zeros(3))])[:, None]
+    )
+    focal = jnp.asarray(np.float32(20.0))
+    xyz = jnp.asarray(rng.uniform(-0.6, 0.6, (1, 333, 3)).astype(np.float32))
+    vdirs = jnp.asarray(rng.normal(size=(1, 333, 3)).astype(np.float32))
+    vdirs = vdirs / jnp.linalg.norm(vdirs, axis=-1, keepdims=True)
+    variables = net.init(jax.random.PRNGKey(0), images, poses, focal, xyz, vdirs)
+    enc = net.apply(variables, images, poses, focal, method=net.encode)
+    penc = pack_encoding(net, enc)
+    for coarse in (True, False):
+        want = net.apply(
+            variables, enc, xyz, viewdirs=vdirs, coarse=coarse, fast=True,
+            method=net.query,
+        )
+        got = net.apply(
+            variables, penc, xyz, viewdirs=vdirs, coarse=coarse,
+            method=net.query_fused,
+        )
+        assert got.shape == want.shape == (1, 333, 4)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=5e-2, rtol=5e-2
+        )
+        frac_close = np.mean(np.abs(np.asarray(got) - np.asarray(want)) < 1e-2)
+        assert frac_close > 0.95, frac_close
