@@ -81,13 +81,32 @@ def main():
         print("# staged disabled: baked encodings are per-MLP", file=sys.stderr)
         staged = False
 
+    # BENCH_FUSED_GATHER=1: route queries through the single-kernel
+    # gather+MLP path (ops/fused_field.py) — gather pipelined against the
+    # MLP GEMMs inside one Pallas kernel. Unstaged by construction (the
+    # kernel re-gathers the fine pass, betting the overlap hides it).
+    fused_gather = os.environ.get("BENCH_FUSED_GATHER", "0") == "1"
+    if fused_gather:
+        from pixelnerf_tpu.models.pixelnerf import pack_encoding
+
+        assert not baked, "fused gather path is incompatible with baking"
+        enc = pack_encoding(net, enc)
+        staged = False
+
     @jax.jit
     def render(variables, enc, rays, key):
-        def query_fn(xyz, viewdirs, coarse):
-            return net.apply(
-                variables, enc, xyz, viewdirs=viewdirs, coarse=coarse,
-                fast=fast, method=net.query,
-            )
+        if fused_gather:
+            def query_fn(xyz, viewdirs, coarse):
+                return net.apply(
+                    variables, enc, xyz, viewdirs=viewdirs, coarse=coarse,
+                    method=net.query_fused,
+                )
+        else:
+            def query_fn(xyz, viewdirs, coarse):
+                return net.apply(
+                    variables, enc, xyz, viewdirs=viewdirs, coarse=coarse,
+                    fast=fast, method=net.query,
+                )
 
         def features_fn(xyz, viewdirs):
             return net.apply(
