@@ -109,3 +109,17 @@ def test_lpips_wiring(fixture_tree, tmp_path):
     assert "lpips" in metrics and metrics["lpips"] >= 0
     report = (out / "all_metrics.txt").read_text()
     assert "lpips:" in report
+
+
+def test_reduce_tolerates_legacy_bookkeeping_rows(fixture_tree):
+    """metrics.txt files from older writers carry an 'n <count>' row;
+    reduce must skip unknown rows instead of crashing (KeyError)."""
+    data, out = fixture_tree
+    calc_metrics.main(_args(data, out))
+    for d in out.iterdir():
+        mpath = d / "metrics.txt"
+        if mpath.exists():
+            mpath.write_text(mpath.read_text() + "\nn 3")
+    calc_metrics.main(_args(data, out, "--reduce_only"))
+    report = (out / "all_metrics.txt").read_text()
+    assert report.splitlines()[-1].startswith("total")
