@@ -74,6 +74,12 @@ def main(argv=None):
                 continue
             NV = data["images"].shape[0]
             src = source[source < NV]
+            if len(src) == 0:
+                raise SystemExit(
+                    f"source view(s) {source.tolist()} out of range for "
+                    f"object with {NV} views — pass e.g. -P 0 (the default "
+                    "-P 64 matches the reference's 251-view SRN layout)"
+                )
             choices = [v for v in range(NV) if v not in set(src.tolist())]
             target = int(rng_np.choice(choices))
             c_arr = data.get("c", np.array([W / 2.0, H / 2.0], np.float32))

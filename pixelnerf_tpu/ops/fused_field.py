@@ -46,25 +46,34 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _fused_kernel(
-    base0_ref, wg0_ref, basen_ref, wgn_ref, x_ref, table_ref,
+    base_ref, wg_ref, x_ref, table_ref,
     win_ref, bin_ref, wz_ref, bz_ref, w0_ref, b0_ref, w1_ref, b1_ref,
-    wout_ref, bout_ref, out_ref, za_ref, zb_ref,
+    wout_ref, bout_ref, out_ref, z2_ref,
     *, n_blocks: int, combine_layer: int, d_hidden: int, tile: int,
     grid_n: int,
 ):
     f32 = jnp.float32
     bf16 = jnp.bfloat16
     i = pl.program_id(0)
+    # z2 is the (2*tile, C) latent double-buffer; the halves swap roles each
+    # step (tile-multiple offsets keep Mosaic's alignment analysis happy).
+    # base/wg carry BOTH this tile's and the next tile's values as column
+    # pairs (wrapper rolls the arrays by `tile`): SMEM windows are padded to
+    # 128 lanes x 2 buffers = 256 KB each regardless of their true width,
+    # and four separate windows blew the 1 MB SMEM budget.
+    cur = (i % 2) * tile
+    nxt = tile - cur
 
-    def gather_span(dst_ref, base_ref, wg_ref, lo, n):
+    def gather_span(dst_off, col, lo, n):
         """Bilinear gather of points [lo, lo+n) from the packed table
-        (2 dynamic row loads/point; lerp form of _gather_packed_kernel)."""
+        (2 dynamic row loads/point; lerp form of _gather_packed_kernel).
+        ``col`` selects the column pair: 0 = this tile, 2 = next tile."""
 
         def body(j, _):
-            t0 = table_ref[pl.ds(base_ref[j, 0], 1), :]
-            t1 = table_ref[pl.ds(base_ref[j, 1], 1), :]
-            wx = wg_ref[j, 0]
-            wy = wg_ref[j, 1]
+            t0 = table_ref[pl.ds(base_ref[j, col + 0], 1), :]
+            t1 = table_ref[pl.ds(base_ref[j, col + 1], 1), :]
+            wx = wg_ref[j, col + 0]
+            wy = wg_ref[j, col + 1]
 
             def unpack(t):
                 left = jax.lax.bitcast_convert_type(
@@ -77,9 +86,9 @@ def _fused_kernel(
             l1, r1 = unpack(t1)
             top = l0 + wx * (r0 - l0)
             bot = l1 + wx * (r1 - l1)
-            dst_ref[pl.ds(j, 1), :] = (top + wy * (bot - top)).astype(
-                dst_ref.dtype
-            )
+            z2_ref[pl.ds(dst_off + j, 1), :] = (
+                top + wy * (bot - top)
+            ).astype(z2_ref.dtype)
             return 0
 
         jax.lax.fori_loop(lo, lo + n, body, 0)
@@ -94,50 +103,43 @@ def _fused_kernel(
     n_slots = 2 + 2 * n_blocks + 1
     span = -(-tile // n_slots)
 
-    def mlp_with_gather(zsrc_ref, znxt_ref):
-        slot_state = [0]
-
-        def g():
-            lo = slot_state[0] * span
-            slot_state[0] += 1
-            n = min(span, tile - lo)
-            if n > 0:
-                gather_span(znxt_ref, basen_ref, wgn_ref, lo, n)
-
-        h = dense(x_ref[:], win_ref[:], bin_ref[:])
-        g()
-        if n_lin_z > 0:
-            tz = dense(zsrc_ref[:], wz_ref[:], bz_ref[:])
-            g()
-        for b in range(n_blocks):
-            if b < combine_layer and n_lin_z > 0:
-                h = h + tz[:, b * d_hidden : (b + 1) * d_hidden]
-            net = dense(jnp.maximum(h, 0), w0_ref[b], b0_ref[b])
-            g()
-            dx = dense(jnp.maximum(net, 0), w1_ref[b], b1_ref[b])
-            g()
-            h = h + dx
-        out = jnp.dot(
-            jnp.maximum(h, 0), wout_ref[:], preferred_element_type=f32
-        ).astype(bf16) + bout_ref[:]
-        while slot_state[0] < n_slots:
-            g()
-        out_ref[:] = out.astype(out_ref.dtype)
-
-    # prologue: tile 0's latents are gathered serially at step 0
+    # prologue: tile 0's latents are gathered serially at step 0 (cur == 0)
     @pl.when(i == 0)
     def _():
-        gather_span(za_ref, base0_ref, wg0_ref, 0, tile)
+        gather_span(0, 0, 0, tile)
 
-    even = (i % 2) == 0
+    slot_state = [0]
 
-    @pl.when(even)
-    def _():
-        mlp_with_gather(za_ref, zb_ref)
+    def g():
+        lo = slot_state[0] * span
+        slot_state[0] += 1
+        n = min(span, tile - lo)
+        if n > 0:
+            gather_span(nxt, 2, lo, n)
 
-    @pl.when(jnp.logical_not(even))
-    def _():
-        mlp_with_gather(zb_ref, za_ref)
+    h = dense(x_ref[:], win_ref[:], bin_ref[:])
+    g()
+    if n_lin_z > 0:
+        # scratch rows are f32 (Mosaic rejects dynamic sub-tile bf16
+        # stores); the bf16 round happens here instead — same value
+        tz = dense(
+            z2_ref[pl.ds(cur, tile), :].astype(bf16), wz_ref[:], bz_ref[:]
+        )
+        g()
+    for b in range(n_blocks):
+        if b < combine_layer and n_lin_z > 0:
+            h = h + tz[:, b * d_hidden : (b + 1) * d_hidden]
+        net = dense(jnp.maximum(h, 0), w0_ref[b], b0_ref[b])
+        g()
+        dx = dense(jnp.maximum(net, 0), w1_ref[b], b1_ref[b])
+        g()
+        h = h + dx
+    out = jnp.dot(
+        jnp.maximum(h, 0), wout_ref[:], preferred_element_type=f32
+    ).astype(bf16) + bout_ref[:]
+    while slot_state[0] < n_slots:
+        g()
+    out_ref[:] = out.astype(out_ref.dtype)
 
 
 @functools.partial(
@@ -178,6 +180,13 @@ def fused_gather_resnetfc_infer(
         wg = jnp.pad(wg, ((0, n_pad - N), (0, 0)))
         x = jnp.pad(x, ((0, n_pad - N), (0, 0)))
     x = x.astype(jnp.bfloat16)
+    # column pairs: [this tile | next tile] (see kernel SMEM-budget note);
+    # the final tile's next-pair wraps around — gathered into the unused
+    # scratch half, never read
+    base = base.astype(jnp.int32)
+    wg = wg.astype(jnp.float32)
+    base2 = jnp.concatenate([base, jnp.roll(base, -TILE, axis=0)], axis=1)
+    wg2 = jnp.concatenate([wg, jnp.roll(wg, -TILE, axis=0)], axis=1)
 
     grid_n = n_pad // TILE
     kernel = functools.partial(
@@ -188,22 +197,18 @@ def fused_gather_resnetfc_infer(
         tile=TILE,
         grid_n=grid_n,
     )
-    smem_tile = lambda idx_map: pl.BlockSpec(
-        (TILE, 2), idx_map, memory_space=pltpu.SMEM
-    )
     full = lambda shape: pl.BlockSpec(
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
     )
-    last = grid_n - 1
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n_pad, LANE), jnp.float32),
         grid=(grid_n,),
         in_specs=[
-            smem_tile(lambda i: (i, 0)),                        # base (tile i)
-            smem_tile(lambda i: (i, 0)),                        # wg   (tile i)
-            smem_tile(lambda i: (jnp.minimum(i + 1, last), 0)),  # base (i+1)
-            smem_tile(lambda i: (jnp.minimum(i + 1, last), 0)),  # wg   (i+1)
+            pl.BlockSpec((TILE, 4), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),               # base pairs
+            pl.BlockSpec((TILE, 4), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),               # wg pairs
             pl.BlockSpec((TILE, d_in_pad), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),               # x
             full(table.shape),
@@ -217,8 +222,7 @@ def fused_gather_resnetfc_infer(
             (TILE, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((TILE, C), jnp.bfloat16),    # latent double-buffer A
-            pltpu.VMEM((TILE, C), jnp.bfloat16),    # latent double-buffer B
+            pltpu.VMEM((2 * TILE, C), jnp.float32),  # latent double-buffer
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -234,8 +238,7 @@ def fused_gather_resnetfc_infer(
             transcendentals=0,
         ),
     )(
-        base.astype(jnp.int32), wg.astype(jnp.float32),
-        base.astype(jnp.int32), wg.astype(jnp.float32),
+        base2, wg2,
         x, table, win, bin_, wz, bz, w0, b0, w1, b1, wout, bout,
     )
     return out[:N, :4]

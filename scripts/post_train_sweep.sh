@@ -10,13 +10,15 @@ OVR="data.num_objects=64"
 
 # seeded 1-view-per-object quality number (reference eval_approx.py)
 PIXELNERF_NO_TB=1 python -m pixelnerf_tpu.apps.eval_approx -n "$NAME" \
-  -c conf/exp/srn.conf -F synthetic --override "$OVR" \
+  -c conf/exp/srn.conf -F synthetic --override "$OVR" -P 0 \
+  --override model.dtype=bfloat16 -R 8192 \
   --split test --limit 16 --batch_size 4 2>&1 | tail -5
 
 # full evaluator with finish.txt resume on a handful of objects
 rm -rf results/eval_$NAME
 PIXELNERF_NO_TB=1 python -m pixelnerf_tpu.apps.eval -n "$NAME" \
   -c conf/exp/srn.conf -F synthetic --override "$OVR" \
+  --override model.dtype=bfloat16 -R 16384 \
   --split test --limit 4 -P "0" -O results/eval_$NAME \
   --write_depth 2>&1 | tail -4
 
@@ -26,7 +28,8 @@ python -m pixelnerf_tpu.apps.calc_metrics -D results/synthetic_gt_$NAME \
 
 # orbit video from one test object
 PIXELNERF_NO_TB=1 python -m pixelnerf_tpu.apps.gen_video -n "$NAME" \
-  -c conf/exp/srn.conf -F synthetic --override "$OVR" \
+  -c conf/exp/srn.conf -F synthetic --override "$OVR" -P 0 \
+  --override model.dtype=bfloat16 -R 16384 \
   --split test --subset 0 --num_views 30 --fps 10 2>&1 | tail -3
 
 echo SWEEP DONE
