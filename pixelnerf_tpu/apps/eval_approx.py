@@ -80,6 +80,13 @@ def main(argv=None):
                     f"object with {NV} views — pass e.g. -P 0 (the default "
                     "-P 64 matches the reference's 251-view SRN layout)"
                 )
+            if len(src) < len(source):
+                print(
+                    f"WARNING: dropping out-of-range source view(s) "
+                    f"{sorted(set(source.tolist()) - set(src.tolist()))} "
+                    f"(object has {NV} views) — conditioning on "
+                    f"{len(src)} view(s), not {len(source)}"
+                )
             choices = [v for v in range(NV) if v not in set(src.tolist())]
             target = int(rng_np.choice(choices))
             c_arr = data.get("c", np.array([W / 2.0, H / 2.0], np.float32))

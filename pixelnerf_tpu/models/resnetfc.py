@@ -220,7 +220,15 @@ class ResnetFC(nn.Module):
             # Deliberate opt-in (PixelNeRFNet.query_fused) — assert, don't
             # silently fall back.
             assert fast and z is None and not z_pretransformed
-            assert self._can_use_kernel(gather, x, single_view), (
+            ok = (
+                self.beta <= 0.0
+                and not self.use_spade
+                and self.d_latent > 0
+                and self.d_in > 0
+                and single_view
+                and self.dtype == jnp.bfloat16
+            )
+            assert ok, (
                 "fused gather path requires ReLU, bf16, d_latent>0, "
                 "single-view"
             )

@@ -37,12 +37,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE = 256      # points per grid step
+from .gather_pallas import _round_up, packed_bilerp
+
+TILE = 256      # points per grid step; also the scratch roll granularity
 LANE = 128
-
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
 
 
 def _fused_kernel(
@@ -50,7 +48,6 @@ def _fused_kernel(
     win_ref, bin_ref, wz_ref, bz_ref, w0_ref, b0_ref, w1_ref, b1_ref,
     wout_ref, bout_ref, out_ref, z2_ref,
     *, n_blocks: int, combine_layer: int, d_hidden: int, tile: int,
-    grid_n: int,
 ):
     f32 = jnp.float32
     bf16 = jnp.bfloat16
@@ -72,23 +69,8 @@ def _fused_kernel(
         def body(j, _):
             t0 = table_ref[pl.ds(base_ref[j, col + 0], 1), :]
             t1 = table_ref[pl.ds(base_ref[j, col + 1], 1), :]
-            wx = wg_ref[j, col + 0]
-            wy = wg_ref[j, col + 1]
-
-            def unpack(t):
-                left = jax.lax.bitcast_convert_type(
-                    t & jnp.int32(-65536), f32
-                )
-                right = jax.lax.bitcast_convert_type(t << 16, f32)
-                return left, right
-
-            l0, r0 = unpack(t0)
-            l1, r1 = unpack(t1)
-            top = l0 + wx * (r0 - l0)
-            bot = l1 + wx * (r1 - l1)
-            z2_ref[pl.ds(dst_off + j, 1), :] = (
-                top + wy * (bot - top)
-            ).astype(z2_ref.dtype)
+            row = packed_bilerp(t0, t1, wg_ref[j, col], wg_ref[j, col + 1])
+            z2_ref[pl.ds(dst_off + j, 1), :] = row.astype(z2_ref.dtype)
             return 0
 
         jax.lax.fori_loop(lo, lo + n, body, 0)
@@ -195,7 +177,6 @@ def fused_gather_resnetfc_infer(
         combine_layer=combine_layer,
         d_hidden=d_hidden,
         tile=TILE,
-        grid_n=grid_n,
     )
     full = lambda shape: pl.BlockSpec(
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM

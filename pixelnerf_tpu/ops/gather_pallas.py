@@ -26,7 +26,30 @@ TILE = 256  # points per grid step (Mosaic rejects larger SMEM index blocks)
 
 
 def _round_up(x: int, m: int) -> int:
+    """Shared by fused_mlp.py / fused_field.py — one canonical copy."""
     return -(-x // m) * m
+
+
+def packed_bilerp(t0, t1, wx, wy):
+    """Unpack two LR-packed int32 rows (:func:`pack_lr_table`) and bilerp.
+
+    The mask/shift/bitcast unpack and the top/bot lerp association are the
+    bit-exactness contract vs the XLA bf16 gather — this ONE definition is
+    used by both ``_gather_packed_kernel`` and the fused gather+MLP kernel
+    (ops/fused_field.py); keep them from diverging.
+    """
+    f32 = jnp.float32
+
+    def unpack(t):
+        left = jax.lax.bitcast_convert_type(t & jnp.int32(-65536), f32)
+        right = jax.lax.bitcast_convert_type(t << 16, f32)
+        return left, right
+
+    l0, r0 = unpack(t0)
+    l1, r1 = unpack(t1)
+    top = l0 + wx * (r0 - l0)
+    bot = l1 + wx * (r1 - l1)
+    return top + wy * (bot - top)
 
 
 def _gather_kernel(idx_ref, w_ref, table_ref, out_ref, *, tile: int):
@@ -57,19 +80,8 @@ def _gather_packed_kernel(base_ref, w_ref, table_ref, out_ref, *, tile: int):
     def body(j, _):
         t0 = table_ref[pl.ds(base_ref[j, 0], 1), :]                  # (1, C) i32
         t1 = table_ref[pl.ds(base_ref[j, 1], 1), :]
-        wx = w_ref[j, 0]
-        wy = w_ref[j, 1]
-
-        def unpack(t):
-            left = jax.lax.bitcast_convert_type(t & jnp.int32(-65536), jnp.float32)
-            right = jax.lax.bitcast_convert_type(t << 16, jnp.float32)
-            return left, right
-
-        l0, r0 = unpack(t0)
-        l1, r1 = unpack(t1)
-        top = l0 + wx * (r0 - l0)
-        bot = l1 + wx * (r1 - l1)
-        out_ref[pl.ds(j, 1), :] = (top + wy * (bot - top)).astype(out_ref.dtype)
+        row = packed_bilerp(t0, t1, w_ref[j, 0], w_ref[j, 1])
+        out_ref[pl.ds(j, 1), :] = row.astype(out_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, tile, body, 0)

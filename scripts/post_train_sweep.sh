@@ -1,9 +1,12 @@
 #!/usr/bin/env bash
-# Post-training verification sweep against the r2train checkpoint:
-# approx eval -> full eval on a few objects -> offline metrics reduce ->
-# orbit video -> mesh extraction. Mirrors the reference's eval workflow
-# (eval_approx.py / eval.py / calc_metrics.py / gen_video.py).
+# Post-training verification sweep against a trained checkpoint:
+# approx eval -> full eval on a few objects -> offline metrics map+reduce
+# over the rendered frames -> orbit video -> mesh extraction. Mirrors the
+# reference's eval workflow (eval_approx.py / eval.py / calc_metrics.py /
+# gen_video.py). bf16 inference (0.002 dB delta, PERF.md) with ray chunks
+# sized for 16 GB HBM — the reference's 50k default assumes larger parts.
 set -ex
+set -o pipefail
 cd "$(dirname "$0")/.."
 NAME=${1:-r2train}
 OVR="data.num_objects=64"
@@ -22,14 +25,20 @@ PIXELNERF_NO_TB=1 python -m pixelnerf_tpu.apps.eval -n "$NAME" \
   --split test --limit 4 -P "0" -O results/eval_$NAME \
   --write_depth 2>&1 | tail -4
 
-# offline metrics map-reduce over the rendered frames
-python -m pixelnerf_tpu.apps.calc_metrics -D results/synthetic_gt_$NAME \
-  -O results/eval_$NAME --reduce_only 2>&1 | tail -4 || true
+# offline metrics map (adapter GT) + reduce over the rendered frames
+python -m pixelnerf_tpu.apps.calc_metrics -D . -F synthetic \
+  -O results/eval_$NAME 2>&1 | tail -4
 
 # orbit video from one test object
 PIXELNERF_NO_TB=1 python -m pixelnerf_tpu.apps.gen_video -n "$NAME" \
   -c conf/exp/srn.conf -F synthetic --override "$OVR" -P 0 \
   --override model.dtype=bfloat16 -R 16384 \
   --split test --subset 0 --num_views 30 --fps 10 2>&1 | tail -3
+
+# vertex-colored mesh from the same object
+PIXELNERF_NO_TB=1 python -m pixelnerf_tpu.apps.recon -n "$NAME" \
+  -c conf/exp/srn.conf -F synthetic --override "$OVR" \
+  --override model.dtype=bfloat16 \
+  --split test --subset 0 --reso 64 -P 0 2>&1 | tail -2
 
 echo SWEEP DONE
