@@ -33,13 +33,23 @@ def main():
     net = make_model(conf["model"])
     cfg = RenderConfig(n_coarse=64, n_fine=32, n_fine_depth=16, white_bkgd=True)
 
-    # SRN-car geometry: 128x128 source image, 1 source view
-    SB, NS, H, W = 1, 1, 128, 128
+    # SRN-car geometry: 128x128 source image(s). BENCH_VIEWS=N measures
+    # N-view conditioning (the DTU tracked config uses 3): per-point work
+    # before the combine layer scales with NS.
+    SB, H, W = 1, 128, 128
+    NS = int(os.environ.get("BENCH_VIEWS", 1))
     n_rays = int(os.environ.get("BENCH_RAYS", 65536))
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.uniform(-1, 1, (SB, NS, H, W, 3)).astype(np.float32))
-    pose = geometry.look_at(np.array([0, 0, 1.3], np.float32), np.zeros(3))
-    poses = jnp.asarray(pose[None, None])
+    pose = np.stack([
+        geometry.look_at(
+            np.array([np.sin(0.4 * v), 0.2 * v, 1.3 * np.cos(0.4 * v)],
+                     np.float32),
+            np.zeros(3),
+        )
+        for v in range(NS)
+    ])
+    poses = jnp.asarray(pose[None])
     focal = jnp.asarray(np.float32(131.25))
 
     variables = net.init(
@@ -150,7 +160,15 @@ def main():
     # a baked encoding folds the lin_z GEMMs into the feature map at encode,
     # so those MACs are not executed per point — exclude them from the MFU
     lin_z_macs = 0 if baked else dl * n_lin_z * dh
-    macs_per_pt = din * dh + lin_z_macs + mlp.n_blocks * 2 * dh * dh + dh * 4
+    # blocks before the combine layer (and lin_in/lin_z) run once per source
+    # view; blocks after run on the view-combined state
+    pre = min(mlp.combine_layer, mlp.n_blocks)
+    per_view = din * dh + lin_z_macs + pre * 2 * dh * dh
+    post = (mlp.n_blocks - pre) * 2 * dh * dh + dh * 4
+    if pre == mlp.n_blocks:
+        per_view += dh * 4
+        post = 0
+    macs_per_pt = NS * per_view + post
     pts_per_ray = cfg.n_coarse + (cfg.n_coarse + cfg.n_fine)
     flops_per_ray = 2 * macs_per_pt * pts_per_ray
     V5E_BF16_PEAK = 197e12
