@@ -243,3 +243,22 @@ def test_normalize_image_radius_formula():
         width_px = grey[1].max() - grey[1].min() + 1
         expected = 2 * a / (2 * rad) * 64
         assert abs(width_px - expected) < 6
+
+
+def test_train_cli_short_run_logs_metrics(workdir, capsys):
+    """A run shorter than one print interval must still print its train
+    metrics: the trainer defers each interval's metrics one interval (to
+    avoid a blocking device fetch) and flushes the final pending entry
+    after the epoch loop."""
+    from pixelnerf_tpu.apps import train
+
+    train.main(
+        ["-n", "flush", "-c", CONF, "-F", "synthetic", "-B", "1", "-V", "1",
+         "-R", "32", "--epochs", "1", "--epoch_batches", "1", "--no_mesh",
+         "--override", "train.print_interval=100",
+         "--override", "train.eval_interval=1000",
+         "--override", "train.vis_interval=1000",
+         "--override", "train.save_interval=1000"] + TINY
+    )
+    out = capsys.readouterr().out
+    assert "E0 B0" in out and " t:" in out, out
