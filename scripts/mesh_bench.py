@@ -52,7 +52,7 @@ def main():
         jnp.zeros((SB, 8, 3)), jnp.ones((SB, 8, 3)),
     )
     enc = net.apply(variables, images, poses, focal, method=net.encode)
-    n_rays = 4096
+    n_rays = 8192
     rays = jnp.asarray(
         np.asarray(geometry.gen_rays(poses[:, 0], W, H, focal, 0.8, 1.8))
         .reshape(1, -1, 8)[:, :n_rays]
@@ -65,10 +65,11 @@ def main():
         out = render(variables, enc, r, key)
         jax.block_until_ready(out)
         t0 = time.perf_counter()
-        for _ in range(3):
+        iters = 8     # small-sample CPU timings are noisy; average more
+        for _ in range(iters):
             out = render(variables, enc, r, key)
         jax.block_until_ready(out)
-        return (time.perf_counter() - t0) / 3, out
+        return (time.perf_counter() - t0) / iters, out
 
     mesh_n = make_mesh(data=1, devices=jax.devices()[:n_dev])
     mesh_1 = make_mesh(data=1, devices=jax.devices()[:1])
