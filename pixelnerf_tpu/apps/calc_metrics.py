@@ -23,6 +23,7 @@ import argparse
 import json
 import os
 import os.path as osp
+import sys
 
 import numpy as np
 
@@ -38,6 +39,20 @@ def _is_image(path: str) -> bool:
 
 def _load_lpips(args):
     if not args.lpips_weights:
+        # the reference's totals include VGG-LPIPS (eval/calc_metrics.py:186);
+        # omitting it silently would make results incomparable — be loud
+        msg = (
+            "WARNING: LPIPS is SKIPPED (no --lpips_weights). Reported totals "
+            "omit the reference's third headline metric. Fetch weights with "
+            "scripts/fetch_lpips_weights.py (needs network) and pass "
+            "--lpips_weights <path>."
+        )
+        if args.require_lpips:
+            raise SystemExit(
+                "ERROR: --require_lpips set but no --lpips_weights given. " + msg
+            )
+        print(msg, file=sys.stderr)
+        print(msg)
         return None
     from ..utils.lpips import LPIPS
 
@@ -303,6 +318,9 @@ def main(argv=None):
     parser.add_argument("--lpips_batch_size", type=int, default=32)
     parser.add_argument("--lpips_weights", type=str, default=None,
                         help="torch .pth with lpips VGG weights (JAX LPIPS)")
+    parser.add_argument("--require_lpips", action="store_true",
+                        help="error out instead of skipping LPIPS when no "
+                             "weights are given")
     parser.add_argument("--reduce_only", "-R", action="store_true")
     parser.add_argument("--metadata", type=str, default="metadata.yaml")
     parser.add_argument("--dtu_sort", action="store_true")

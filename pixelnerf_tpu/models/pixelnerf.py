@@ -455,8 +455,10 @@ def bake_encoding(
     flat = lat.reshape(-1, c).astype(jnp.float32)
 
     def bake_one(mlp, params):
-        if not hasattr(mlp, "combine_layer") or getattr(mlp, "use_spade", False):
-            return None  # ImplicitNet / SPADE consume z differently
+        # guard on the attributes actually used below: ImplicitNet defines
+        # combine_layer but not n_blocks/lin_z; SPADE consumes z differently
+        if not hasattr(mlp, "n_blocks") or getattr(mlp, "use_spade", False):
+            return None
         n_lin_z = min(mlp.combine_layer, mlp.n_blocks)
         if mlp.d_latent <= 0 or n_lin_z <= 0:
             return None

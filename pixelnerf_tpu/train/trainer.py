@@ -175,7 +175,29 @@ class Trainer:
         train_iter = iter(self.train_pipeline)
         test_iter = iter(self.test_pipeline) if self.test_pipeline else None
         t_last = time.time()
-        pending = None  # deferred (epoch, batch_idx, step, metrics) to print
+        # deferred (epoch, batch_idx, step, metrics, dt) to print: dt is
+        # measured when the interval's metrics are captured, so the printed
+        # timing matches the labeled batch (not the following interval)
+        self._pending = None
+        try:
+            self._run_epochs(train_iter, test_iter, t_last, _time_loop, _bare)
+        finally:
+            # flush the deferred interval so the run's final metrics (and a
+            # short or interrupted run's only metrics) are printed and logged
+            pending = self._pending
+            if pending is not None:
+                p_epoch, p_bidx, p_step, p_metrics, p_dt = pending
+                p_metrics = {k: float(v) for k, v in p_metrics.items()}
+                print(
+                    f"E{p_epoch} B{p_bidx} "
+                    + " ".join(f"{k}:{v:.5f}" for k, v in p_metrics.items())
+                    + f" ({p_dt:.2f}s)"
+                )
+                self._log("train", p_metrics, p_step)
+                self._pending = None
+
+    def _run_epochs(self, train_iter, test_iter, t_last, _time_loop, _bare):
+        self._pending = None
         for epoch in range(self.num_epochs):
             for batch_idx in range(self.epoch_batches * self.num_epoch_repeats):
                 _t0 = time.time()
@@ -213,20 +235,20 @@ class Trainer:
                     # on-device by now, so float() doesn't stall the pipeline
                     # (fetching this batch's metrics would block on the step
                     # dispatched two lines up)
-                    if pending is not None:
-                        p_epoch, p_bidx, p_step, p_metrics = pending
+                    dt = time.time() - t_last
+                    t_last = time.time()
+                    if self._pending is not None:
+                        p_epoch, p_bidx, p_step, p_metrics, p_dt = self._pending
                         p_metrics = {k: float(v) for k, v in p_metrics.items()}
-                        dt = time.time() - t_last
-                        t_last = time.time()
                         print(
                             f"E{p_epoch} B{p_bidx} "
                             + " ".join(
                                 f"{k}:{v:.5f}" for k, v in p_metrics.items()
                             )
-                            + f" ({dt:.2f}s)"
+                            + f" ({p_dt:.2f}s)"
                         )
                         self._log("train", p_metrics, p_step)
-                    pending = (epoch, batch_idx, step, metrics)
+                    self._pending = (epoch, batch_idx, step, metrics, dt)
 
                 if test_iter is not None and batch_idx % self.eval_interval == 1:
                     test_batch = next(test_iter)
@@ -258,16 +280,6 @@ class Trainer:
 
                 self.post_batch(epoch, batch_idx)
             save_checkpoint(self.ckpt_dir, self.state)
-        # flush the deferred interval so the run's final metrics (and a short
-        # run's only metrics) are printed and logged
-        if pending is not None:
-            p_epoch, p_bidx, p_step, p_metrics = pending
-            p_metrics = {k: float(v) for k, v in p_metrics.items()}
-            print(
-                f"E{p_epoch} B{p_bidx} "
-                + " ".join(f"{k}:{v:.5f}" for k, v in p_metrics.items())
-            )
-            self._log("train", p_metrics, p_step)
 
     def _save_visual(self, vis: np.ndarray, epoch: int, batch_idx: int):
         import imageio.v2 as imageio

@@ -123,3 +123,15 @@ def test_reduce_tolerates_legacy_bookkeeping_rows(fixture_tree):
     calc_metrics.main(_args(data, out, "--reduce_only"))
     report = (out / "all_metrics.txt").read_text()
     assert report.splitlines()[-1].startswith("total")
+
+
+def test_lpips_skip_is_loud(fixture_tree, capsys):
+    """Without --lpips_weights the omission of the reference's third headline
+    metric must be announced, and --require_lpips must hard-error."""
+    data, out = fixture_tree
+    calc_metrics.main(_args(data, out, "--overwrite"))
+    captured = capsys.readouterr()
+    assert "LPIPS is SKIPPED" in captured.out or "LPIPS is SKIPPED" in captured.err
+
+    with pytest.raises(SystemExit, match="require_lpips"):
+        calc_metrics.main(_args(data, out, "--overwrite", "--require_lpips"))

@@ -98,6 +98,35 @@ def test_implicitnet_field():
     assert np.isfinite(out).all()
 
 
+def test_bake_encoding_skips_implicitnet():
+    """bake_encoding must no-op (not crash) on an ImplicitNet field: the
+    guard keys on n_blocks, which ImplicitNet lacks (it *does* define
+    combine_layer, which fooled the previous guard)."""
+    from pixelnerf_tpu.models import bake_encoding
+
+    m = _base_conf()
+    m["mlp_coarse"] = parse_string(
+        "type = mlp\ndims = [64, 64, 64]\nskip_in = [2]\ncombine_layer = 2\n"
+        "dim_excludes_skip = True\n"
+    )
+    net = make_model(m)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.uniform(-1, 1, (1, 2, 16, 16, 3)).astype(np.float32))
+    poses = jnp.asarray(
+        np.stack(
+            [geometry.look_at(np.array([0.5 * v, 0.3, 2.0], np.float32),
+                              np.zeros(3)) for v in range(2)]
+        )[None]
+    )
+    focal = jnp.asarray(np.float32(20.0))
+    xyz = jnp.zeros((1, 9, 3))
+    vd = jnp.ones((1, 9, 3)) / np.sqrt(3)
+    variables = net.init(jax.random.PRNGKey(0), images, poses, focal, xyz, vd)
+    enc = net.apply(variables, images, poses, focal, method=net.encode)
+    baked = bake_encoding(net, variables, enc)
+    assert baked.tz_coarse is None and baked.tz_fine is None
+
+
 def test_resnet18_backbone():
     m = _base_conf()
     m["encoder"]["backbone"] = "resnet18"

@@ -66,7 +66,36 @@ def ref_modules():
     return ref_model, ref_nerf
 
 
-def test_reference_end_to_end(ref_modules, monkeypatch):
+# The config matrix (VERDICT r2 #3): each case is a cheap parameterization
+# of the same fixture; each covers a configuration where a sign/convention
+# bug could hide (reference src/model/models.py:119-141,146-266,
+# src/render/nerf.py:251-338, eval/eval.py:139-148).
+E2E_CASES = {
+    # the round-2 baseline: sn64, NS=2, SB=1, viewdirs, white_bkgd
+    "base": {},
+    # DTU-style intrinsics: per-object (SB,2) focal with distinct fx/fy +
+    # explicit (SB,2) principal point off the image center + lindisp
+    # (reference DVRDataset.py:157-181,231-238 feeding models.py:119-141;
+    # eval.py:227-230 passes focal as (1,2))
+    "dtu_intrinsics": {"SB": 2, "fxfy": True, "explicit_c": True,
+                       "lindisp": True},
+    # disparity-space stratified sampling alone (reference nerf.py:109-113)
+    "lindisp": {"lindisp": True},
+    # coarse-only hierarchy: n_fine=0 -> no fine branch (nerf.py:284-298)
+    "coarse_only": {"n_fine": 0},
+    # no view directions in the input code (models.py:35-43,184-199)
+    "no_viewdirs": {"model_over": {"use_viewdirs": False}},
+    # superbatch + 3-view fusion through combine_interleaved
+    # (resnetfc.py:151-172)
+    "sb2_ns3": {"SB": 2, "NS": 3},
+    # the eval --coarse 64/128 conversion: fine MLP dropped, hierarchical
+    # sampling kept, both passes through the coarse MLP (eval.py:139-148)
+    "coarse_conversion": {"coarse_conv": True},
+}
+
+
+@pytest.mark.parametrize("case_name", sorted(E2E_CASES))
+def test_reference_end_to_end(ref_modules, monkeypatch, case_name):
     import torch
 
     import jax
@@ -79,9 +108,18 @@ def test_reference_end_to_end(ref_modules, monkeypatch):
     from pixelnerf_tpu.utils import geometry
 
     ref_model, ref_nerf = ref_modules
+    case = E2E_CASES[case_name]
+    SB = case.get("SB", 1)
+    NS = case.get("NS", 2)
+    lindisp = case.get("lindisp", False)
+    coarse_conv = case.get("coarse_conv", False)
 
     conf = load_config(os.path.join(REPO, "conf", "exp", "sn64.conf"))
     conf["model"]["encoder"]["pretrained"] = False  # no downloads; random init
+    for k, v in case.get("model_over", {}).items():
+        conf["model"][k] = v
+    if case.get("n_fine") is not None:
+        conf["renderer"]["n_fine"] = case["n_fine"]
     torch.manual_seed(0)
     ref_net = ref_model.make_model(conf["model"]).eval()
 
@@ -90,7 +128,7 @@ def test_reference_end_to_end(ref_modules, monkeypatch):
     sd = {k: v.detach().numpy() for k, v in ref_net.state_dict().items()}
     variables = import_state_dict(sd)
 
-    SB, NS, H, W, B = 1, 2, 64, 64, 24
+    H, W, B = 64, 64, 24
     rng = np.random.default_rng(0)
     images = rng.uniform(-1, 1, (SB, NS, H, W, 3)).astype(np.float32)
     poses = np.stack(
@@ -98,18 +136,38 @@ def test_reference_end_to_end(ref_modules, monkeypatch):
             np.stack(
                 [
                     geometry.look_at(
-                        np.array([0.5 * v - 0.2, 0.3, 2.2], np.float32),
+                        np.array(
+                            [0.5 * v - 0.2 + 0.3 * s, 0.3 - 0.2 * s, 2.2],
+                            np.float32,
+                        ),
                         np.zeros(3),
                     )
                     for v in range(NS)
                 ]
             )
-            for _ in range(SB)
+            for s in range(SB)
         ]
     ).astype(np.float32)
-    focal = np.float32(1.2 * W)
+    if case.get("fxfy"):
+        # per-object [fx, fy] with fx != fy (the reference repeats 2-D
+        # intrinsics per view in forward, models.py:206-212)
+        focal = np.stack(
+            [np.array([1.2 * W + 3.0 * s, 1.1 * W - 2.0 * s], np.float32)
+             for s in range(SB)]
+        )
+    else:
+        focal = np.float32(1.2 * W)
+    c = None
+    if case.get("explicit_c"):
+        c = np.stack(
+            [np.array([0.5 * W + 1.5 - s, 0.5 * H - 2.0 + s], np.float32)
+             for s in range(SB)]
+        )
+    ray_focal = np.float32(1.2 * W)
     rays = np.asarray(
-        geometry.gen_rays(jnp.asarray(poses[:, 0]), W, H, jnp.asarray(focal), 1.0, 3.4)
+        geometry.gen_rays(
+            jnp.asarray(poses[:, 0]), W, H, jnp.asarray(ray_focal), 1.0, 3.4
+        )
     ).reshape(SB, -1, 8)[:, :: (H * W) // B][:, :B]
 
     # Deterministic sampling on BOTH sides: stratified jitter and the
@@ -138,19 +196,31 @@ def test_reference_end_to_end(ref_modules, monkeypatch):
     )
 
     # --- reference render -------------------------------------------------
-    renderer_ref = ref_nerf.NeRFRenderer.from_conf(conf["renderer"], white_bkgd=True)
+    renderer_ref = ref_nerf.NeRFRenderer.from_conf(
+        conf["renderer"], white_bkgd=True, lindisp=lindisp
+    )
+    if coarse_conv:
+        # reference eval.py:139-148
+        ref_net.mlp_fine = None
+        renderer_ref.n_coarse = 64
+        renderer_ref.n_fine = 128
+        renderer_ref.using_fine = True
     render_par = renderer_ref.bind_parallel(ref_net, gpus=None)
     images_nchw = torch.from_numpy(images.transpose(0, 1, 4, 2, 3))
+    ref_focal = torch.tensor(focal)
+    ref_c = None if c is None else torch.tensor(c)
     with torch.no_grad():
         ref_net.encode(
-            images_nchw, torch.from_numpy(poses), torch.tensor(float(focal))
+            images_nchw, torch.from_numpy(poses), ref_focal, c=ref_c
         )
         out_ref = render_par(torch.from_numpy(rays), want_weights=True)
 
     # --- our render ---------------------------------------------------------
+    if coarse_conv:
+        net = net.clone(mlp_fine=None)
     enc = net.apply(
         variables, jnp.asarray(images), jnp.asarray(poses), jnp.asarray(focal),
-        method=net.encode,
+        c=None if c is None else jnp.asarray(c), method=net.encode,
     )
 
     def query_fn(xyz, viewdirs, coarse):
@@ -158,13 +228,18 @@ def test_reference_end_to_end(ref_modules, monkeypatch):
             variables, enc, xyz, viewdirs=viewdirs, coarse=coarse, method=net.query
         )
 
-    cfg = RenderConfig.from_conf(conf["renderer"], white_bkgd=True)
+    cfg = RenderConfig.from_conf(conf["renderer"], white_bkgd=True, lindisp=lindisp)
+    if coarse_conv:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, n_coarse=64, n_fine=128)
     out = render_rays(
         query_fn, jnp.asarray(rays), jax.random.PRNGKey(0), cfg,
         train=False, want_weights=True, use_viewdirs=net.use_viewdirs,
     )
 
-    for branch in ("coarse", "fine"):
+    branches = ("coarse", "fine") if cfg.using_fine else ("coarse",)
+    for branch in branches:
         rgb_ref = np.asarray(out_ref[branch]["rgb"])
         rgb_ours = np.asarray(out[branch]["rgb"])
         assert rgb_ref.shape == rgb_ours.shape
@@ -176,7 +251,16 @@ def test_reference_end_to_end(ref_modules, monkeypatch):
             err_msg=f"{branch} depth",
         )
         w_ref = np.asarray(out_ref[branch]["weights"])
+        w_ours = np.asarray(out[branch]["weights"])
+        # per-element tolerance is slightly loose: with deterministic jitter
+        # the importance samples can coincide exactly with coarse z's, and
+        # torch.sort vs lax.sort break the tie differently, redistributing
+        # weight between two samples at the same depth (sum preserved —
+        # checked tightly below; rgb/depth above are unaffected)
         np.testing.assert_allclose(
-            np.asarray(out[branch]["weights"]), w_ref, atol=2e-3,
-            err_msg=f"{branch} weights",
+            w_ours, w_ref, atol=4e-3, err_msg=f"{branch} weights",
+        )
+        np.testing.assert_allclose(
+            w_ours.sum(-1), w_ref.sum(-1), atol=2e-3,
+            err_msg=f"{branch} weight sums",
         )
