@@ -1,8 +1,18 @@
 """Render-throughput benchmark (the driver runs this on real TPU hardware).
 
 Measures full conditional-NeRF rendering — encode once, then hierarchical
-render (64 coarse + 32 fine samples/ray, the reference's shipped config) —
-and reports rays/sec/chip against the BASELINE.json target of 1e7.
+render (n_coarse=64, n_fine=32 with a 96-sample fine pass, the reference's
+shipped config) — and reports rays/sec/chip against the BASELINE.json
+target of 1e7. The JSON artifact also carries:
+
+- ``views``: rays/s + MFU at 1/2/3-view conditioning (the DTU tracked
+  config is 3-view)
+- ``stages``: isolated feature-stage (camera transform + uv + gather +
+  posenc) vs MLP-stage timing at the bench shape
+- ``train``: full train-step steps/s + MFU at the reference config
+  (SB=4, 128 rays/object) and at a chip-filling config, plus the real
+  loop / compiled-step time ratio
+- ``mesh_scaling``: virtual 8-device mesh equality + timing subprocess
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 """
@@ -16,29 +26,41 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 BASELINE_RAYS_PER_SEC = 1.0e7
+V5E_BF16_PEAK = 197e12
 
 
-def main():
+def _sync(x):
+    """Execution barrier that works through the axon tunnel (device_get on a
+    scalar; block_until_ready returns early there)."""
+    import jax
+
+    jax.device_get(x)
+
+
+def model_flops_per_ray(net, cfg, NS, baked=False):
+    """Analytic field-MLP FLOPs/ray at this fidelity (see PERF.md)."""
+    mlp = net.mlp_coarse
+    n_lin_z = min(mlp.combine_layer, mlp.n_blocks)
+    dh, dl, din = mlp.d_hidden, mlp.d_latent, mlp.d_in
+    lin_z_macs = 0 if baked else dl * n_lin_z * dh
+    pre = min(mlp.combine_layer, mlp.n_blocks)
+    per_view = din * dh + lin_z_macs + pre * 2 * dh * dh
+    post = (mlp.n_blocks - pre) * 2 * dh * dh + dh * 4
+    if pre == mlp.n_blocks:
+        per_view += dh * 4
+        post = 0
+    macs_per_pt = NS * per_view + post
+    pts_per_ray = cfg.n_coarse + (cfg.n_coarse + cfg.n_fine)
+    return 2 * macs_per_pt * pts_per_ray
+
+
+def _build_scene(net, NS, H=128, W=128, SB=1):
+    """Random SRN-geometry source views + encoding for the bench model."""
     import jax
     import jax.numpy as jnp
 
-    from pixelnerf_tpu.config import load_config
-    from pixelnerf_tpu.models import make_model
-    from pixelnerf_tpu.render.renderer import RenderConfig, render_rays_chunked
     from pixelnerf_tpu.utils import geometry
 
-    root = os.path.dirname(os.path.abspath(__file__))
-    conf = load_config(os.path.join(root, "conf", "exp", "srn.conf"))
-    conf["model"]["dtype"] = os.environ.get("BENCH_DTYPE", "bfloat16")
-    net = make_model(conf["model"])
-    cfg = RenderConfig(n_coarse=64, n_fine=32, n_fine_depth=16, white_bkgd=True)
-
-    # SRN-car geometry: 128x128 source image(s). BENCH_VIEWS=N measures
-    # N-view conditioning (the DTU tracked config uses 3): per-point work
-    # before the combine layer scales with NS.
-    SB, H, W = 1, 128, 128
-    NS = int(os.environ.get("BENCH_VIEWS", 1))
-    n_rays = int(os.environ.get("BENCH_RAYS", 65536))
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.uniform(-1, 1, (SB, NS, H, W, 3)).astype(np.float32))
     pose = np.stack([
@@ -49,59 +71,42 @@ def main():
         )
         for v in range(NS)
     ])
-    poses = jnp.asarray(pose[None])
+    poses = jnp.asarray(np.broadcast_to(pose[None], (SB,) + pose.shape))
     focal = jnp.asarray(np.float32(131.25))
-
     variables = net.init(
         jax.random.PRNGKey(0), images, poses, focal,
         jnp.zeros((SB, 8, 3)), jnp.ones((SB, 8, 3)),
     )
     enc = net.apply(variables, images, poses, focal, method=net.encode)
+    cam_rays = np.asarray(
+        geometry.gen_rays(poses[:, 0], W, H, focal, 0.8, 1.8)
+    ).reshape(SB, -1, 8)
+    return variables, enc, images, poses, focal, cam_rays
 
-    # Fold the MLPs' latent-injection GEMMs into the feature map (exact;
-    # see models.pixelnerf.bake_encoding). Off by default on v5e: measured
-    # 80.2k vs 100.7k rays/s — the 3x-wider gather rows cost more than the
-    # saved GEMM (the XLA gather is only partially index-bound: 4-corner
-    # bf16 at C=512 runs 11.3 ms/393k pts vs 20.4 ms at C=1536).
-    if os.environ.get("BENCH_BAKED", "0") == "1":
+
+def _render_rate(net, cfg, NS, n_rays, n_iters, ray_chunk, staged, fast,
+                 fused_gather=False, baked=False):
+    """rays/s of the full hierarchical render at NS-view conditioning."""
+    import jax
+
+    from pixelnerf_tpu.render.renderer import render_rays_chunked
+
+    variables, enc, *_rest, cam_rays = _build_scene(net, NS)
+    if baked:
         from pixelnerf_tpu.models import bake_encoding
 
         enc = bake_encoding(net, variables, enc)
-
-    cam_rays = np.asarray(
-        geometry.gen_rays(poses[:, 0], W, H, focal, 0.8, 1.8)
-    ).reshape(1, -1, 8)
-    reps = max(1, n_rays // cam_rays.shape[1])
-    rays = jnp.asarray(np.tile(cam_rays, (1, reps, 1))[:, :n_rays])
-
-    ray_chunk = int(os.environ.get("BENCH_CHUNK", 4096))
-
-    # The fused Pallas MLP kernel (BENCH_FAST=1) matches but does not beat
-    # XLA here — the XLA bf16 path already runs at ~87% of MXU peak.
-    fast = os.environ.get("BENCH_FAST", "0") == "1"
-
-    # staged render: fine pass reuses the coarse samples' gathered features
-    # (exact; see render_rays docstring). ~40% fewer gather points. Feature
-    # reuse across passes is only valid when the gather output is MLP-
-    # agnostic: a baked encoding holds per-MLP injection maps, so staged +
-    # baked (with a separate fine MLP) must fall back to the unstaged path.
-    staged = os.environ.get("BENCH_STAGED", "1") == "1"
-    baked = os.environ.get("BENCH_BAKED", "0") == "1"
-    if staged and baked and net.mlp_fine is not None:
-        print("# staged disabled: baked encodings are per-MLP", file=sys.stderr)
-        staged = False
-
-    # BENCH_FUSED_GATHER=1: route queries through the single-kernel
-    # gather+MLP path (ops/fused_field.py) — gather pipelined against the
-    # MLP GEMMs inside one Pallas kernel. Unstaged by construction (the
-    # kernel re-gathers the fine pass, betting the overlap hides it).
-    fused_gather = os.environ.get("BENCH_FUSED_GATHER", "0") == "1"
     if fused_gather:
         from pixelnerf_tpu.models.pixelnerf import pack_encoding
 
         assert not baked, "fused gather path is incompatible with baking"
         enc = pack_encoding(net, enc)
         staged = False
+
+    import jax.numpy as jnp
+
+    reps = max(1, n_rays // cam_rays.shape[1])
+    rays = jnp.asarray(np.tile(cam_rays, (1, reps, 1))[:, :n_rays])
 
     @jax.jit
     def render(variables, enc, rays, key):
@@ -142,39 +147,281 @@ def main():
 
     key = jax.random.PRNGKey(1)
     out = render(variables, enc, rays, key)
-    jax.device_get(out[2])  # compile + sync
-
-    n_iters = int(os.environ.get("BENCH_ITERS", 10))
+    _sync(out[2])  # compile + sync
     t0 = time.perf_counter()
     for i in range(n_iters):
         out = render(variables, enc, rays, jax.random.fold_in(key, i))
-    jax.device_get(out[2])
+    _sync(out[2])
     dt = time.perf_counter() - t0
+    return n_rays * n_iters / dt
 
-    rays_per_sec = n_rays * n_iters / dt
 
-    # --- analytic MFU: model FLOPs per ray at this fidelity vs chip peak ---
-    mlp = net.mlp_coarse
-    n_lin_z = min(mlp.combine_layer, mlp.n_blocks)
-    dh, dl, din = mlp.d_hidden, mlp.d_latent, mlp.d_in
-    # a baked encoding folds the lin_z GEMMs into the feature map at encode,
-    # so those MACs are not executed per point — exclude them from the MFU
-    lin_z_macs = 0 if baked else dl * n_lin_z * dh
-    # blocks before the combine layer (and lin_in/lin_z) run once per source
-    # view; blocks after run on the view-combined state
-    pre = min(mlp.combine_layer, mlp.n_blocks)
-    per_view = din * dh + lin_z_macs + pre * 2 * dh * dh
-    post = (mlp.n_blocks - pre) * 2 * dh * dh + dh * 4
-    if pre == mlp.n_blocks:
-        per_view += dh * 4
-        post = 0
-    macs_per_pt = NS * per_view + post
-    pts_per_ray = cfg.n_coarse + (cfg.n_coarse + cfg.n_fine)
-    flops_per_ray = 2 * macs_per_pt * pts_per_ray
-    V5E_BF16_PEAK = 197e12
+def _bench_stages(net, points=393216):
+    """Isolated feature-stage vs MLP-stage latency at the bench shape
+    (the features/MLP split PERF.md reports; VERDICT r2 #7)."""
+    import jax
+    import jax.numpy as jnp
+
+    variables, enc, *_ = _build_scene(net, NS=1)
+    rng = np.random.default_rng(1)
+    xyz = jnp.asarray(rng.uniform(-0.5, 0.5, (1, points, 3)).astype(np.float32))
+    vd = jnp.asarray(rng.normal(size=(1, points, 3)).astype(np.float32))
+    vd = vd / jnp.linalg.norm(vd, axis=-1, keepdims=True)
+
+    feat_fn = jax.jit(
+        lambda xyz, vd: net.apply(
+            variables, enc, xyz, viewdirs=vd, method=net.query_features
+        )
+    )
+    mlp_fn = jax.jit(
+        lambda f: net.apply(
+            variables, enc, f, coarse=False, method=net.query_mlp
+        )
+    )
+
+    def timeit(fn, *args, iters=8):
+        out = fn(*args)
+        _sync(jax.tree_util.tree_leaves(out)[0].sum())
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        _sync(jax.tree_util.tree_leaves(out)[0].sum())
+        return (time.perf_counter() - t0) / iters
+
+    t_feat = timeit(feat_fn, xyz, vd)
+    feats = feat_fn(xyz, vd)
+    t_mlp = timeit(mlp_fn, feats)
+    return {
+        "points": points,
+        "features_ms": round(t_feat * 1e3, 2),
+        "mlp_ms": round(t_mlp * 1e3, 2),
+    }
+
+
+def _bench_train(root):
+    """Full train-step throughput (VERDICT r2 #2): steps/s + train MFU at
+    (a) the reference config (SB=4, 128 rays/object, train/train.py:56) and
+    (b) a chip-filling config (SB=4, 2048 rays/object, scan-remat chunks),
+    plus the real-loop / compiled-step ratio on the synthetic dataset."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from pixelnerf_tpu.config import ConfigNode, load_config
+    from pixelnerf_tpu.models import make_model
+    from pixelnerf_tpu.render.renderer import RenderConfig
+    from pixelnerf_tpu.train import TrainState, make_render_loss, make_train_step
+    from pixelnerf_tpu.utils import geometry
+
+    conf = load_config(os.path.join(root, "conf", "exp", "srn.conf"))
+    net = make_model(conf["model"])  # training dtype (f32 params)
+    cfg = RenderConfig(n_coarse=64, n_fine=32, n_fine_depth=16, white_bkgd=True)
+    loss_fn = make_render_loss(conf.get_config("loss", ConfigNode()))
+    optimizer = optax.adam(1e-4)
+
+    SB, NS, H, W = 4, 1, 128, 128
+    rng = np.random.default_rng(0)
+    pose = geometry.look_at(np.array([0.0, 0.1, 1.3], np.float32), np.zeros(3))
+    images = rng.uniform(-1, 1, (SB, NS, H, W, 3)).astype(np.float32)
+    poses = np.broadcast_to(pose, (SB, NS, 4, 4)).copy()
+    variables = net.init(
+        jax.random.PRNGKey(0), jnp.asarray(images), jnp.asarray(poses),
+        jnp.asarray(np.float32(131.25)),
+        jnp.zeros((SB, 8, 3)), jnp.ones((SB, 8, 3)),
+    )
+    cam_rays = np.asarray(
+        geometry.gen_rays(jnp.asarray(poses[:, 0]), W, H,
+                          jnp.asarray(np.float32(131.25)), 0.8, 1.8)
+    ).reshape(SB, -1, 8)
+
+    flops_per_ray = model_flops_per_ray(net, cfg, NS)
+
+    def run_config(R, ray_chunk, iters):
+        step = make_train_step(
+            net, cfg, optimizer, loss_fn, mesh=None, ray_chunk=ray_chunk
+        )
+        state = TrainState(
+            params=jax.tree_util.tree_map(jnp.array, variables["params"]),
+            batch_stats=jax.tree_util.tree_map(
+                jnp.array, variables.get("batch_stats", {})
+            ),
+            opt_state=optimizer.init(variables["params"]),
+            step=jnp.zeros((), jnp.int32),
+        )
+        batch = {
+            "images": jnp.asarray(images),
+            "poses": jnp.asarray(poses),
+            "focal": jnp.full((SB,), 131.25, jnp.float32),
+            "c": jnp.full((SB, 2), 64.0, jnp.float32),
+            "rays": jnp.asarray(
+                np.tile(cam_rays, (1, max(1, R // cam_rays.shape[1]), 1))[:, :R]
+            ),
+            "rgb_gt": jnp.asarray(
+                rng.uniform(0, 1, (SB, R, 3)).astype(np.float32)
+            ),
+        }
+        state, metrics = step(state, batch, jax.random.PRNGKey(0))
+        _sync(metrics["t"])  # compile
+        t0 = time.perf_counter()
+        for i in range(iters):
+            state, metrics = step(state, batch, jax.random.fold_in(
+                jax.random.PRNGKey(1), i))
+        _sync(metrics["t"])
+        dt = (time.perf_counter() - t0) / iters
+        rays_per_sec = SB * R / dt
+        # train FLOPs ~= 3x forward (fwd + 2x bwd), field math only — the
+        # ResNet encode is excluded (it is <4% of the chip-filling config's
+        # FLOPs and benchmarked separately in PERF.md)
+        mfu = 3 * rays_per_sec * flops_per_ray / V5E_BF16_PEAK
+        return {
+            "steps_per_sec": round(1.0 / dt, 2),
+            "rays_per_sec": round(rays_per_sec, 1),
+            "train_mfu": round(mfu, 3),
+            "rays_per_object": R,
+            "ray_chunk": ray_chunk,
+        }, dt
+
+    ref, dt_ref = run_config(R=128, ray_chunk=None, iters=20)
+    filling, _ = run_config(R=2048, ray_chunk=1024, iters=8)
+
+    # real-loop ratio at the reference config: the Trainer loop (host batch
+    # assembly from the synthetic dataset + dispatch + deferred metric
+    # fetches) over the isolated compiled step. Per-step time is measured as
+    # the delta between consecutive pipeline pulls so the first-step compile
+    # and the end-of-epoch checkpoint write don't contaminate steady state;
+    # interval side effects (save/vis) are pushed out of the window — the
+    # ratio isolates per-batch host overhead, the thing VERDICT r2 #2 asks
+    # to bound at <=1.1x.
+    loop_ratio = None
+    try:
+        import contextlib
+        import io
+        import tempfile
+
+        from pixelnerf_tpu.data.pipeline import RayBatchPipeline
+        from pixelnerf_tpu.data.synthetic import SyntheticSphereDataset
+        from pixelnerf_tpu.train.trainer import Trainer
+
+        dset = SyntheticSphereDataset(
+            num_objects=8, num_views=8, image_size=(H, W)
+        )
+        pipe = RayBatchPipeline(
+            dset, batch_size=SB, rays_per_object=128, views=(NS,), workers=2
+        )
+        n_loop = 30
+        pull_times = []
+
+        class TimingPipe:
+            def __iter__(self):
+                for batch in pipe:
+                    pull_times.append(time.perf_counter())
+                    yield batch
+
+        conf["train"]["save_interval"] = 10 ** 9
+        conf["train"]["vis_interval"] = 10 ** 9
+        conf["train"]["eval_interval"] = 10 ** 9
+        with tempfile.TemporaryDirectory() as td:
+            os.environ.setdefault("PIXELNERF_NO_TB", "1")
+            trainer = Trainer(
+                net, variables, TimingPipe(), None, cfg, conf, name="bench",
+                out_dir=td, num_epochs=1, epoch_batches=n_loop,
+            )
+            with contextlib.redirect_stdout(io.StringIO()):
+                trainer.start()
+        deltas = np.diff(np.asarray(pull_times))
+        dt_loop = float(np.median(deltas[3:]))  # drop compile-affected head
+        loop_ratio = round(dt_loop / dt_ref, 2)
+    except Exception as e:  # pragma: no cover - diagnostics only
+        print(f"# train loop ratio failed: {e}", file=sys.stderr)
+
+    return {"reference": ref, "chip_filling": filling,
+            "loop_over_compiled": loop_ratio}
+
+
+def main():
+    import jax  # noqa: F401
+
+    from pixelnerf_tpu.config import load_config
+    from pixelnerf_tpu.models import make_model
+    from pixelnerf_tpu.render.renderer import RenderConfig
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    conf = load_config(os.path.join(root, "conf", "exp", "srn.conf"))
+    conf["model"]["dtype"] = os.environ.get("BENCH_DTYPE", "bfloat16")
+    net = make_model(conf["model"])
+    cfg = RenderConfig(n_coarse=64, n_fine=32, n_fine_depth=16, white_bkgd=True)
+
+    # SRN-car geometry: 128x128 source image(s). BENCH_VIEWS=N sets the
+    # headline's N-view conditioning (the DTU tracked config uses 3):
+    # per-point work before the combine layer scales with NS.
+    NS = int(os.environ.get("BENCH_VIEWS", 1))
+    n_rays = int(os.environ.get("BENCH_RAYS", 65536))
+    ray_chunk = int(os.environ.get("BENCH_CHUNK", 4096))
+    n_iters = int(os.environ.get("BENCH_ITERS", 10))
+
+    # The fused Pallas MLP kernel (BENCH_FAST=1) matches but does not beat
+    # XLA here — the XLA bf16 path already runs at ~87% of MXU peak.
+    fast = os.environ.get("BENCH_FAST", "0") == "1"
+
+    # staged render: fine pass reuses the coarse samples' gathered features
+    # (exact; see render_rays docstring). ~40% fewer gather points. Feature
+    # reuse across passes is only valid when the gather output is MLP-
+    # agnostic: a baked encoding holds per-MLP injection maps, so staged +
+    # baked (with a separate fine MLP) must fall back to the unstaged path.
+    # BENCH_BAKED=1 folds the lin_z GEMMs into the feature map (exact; off
+    # by default: measured slower on v5e, see PERF.md). BENCH_FUSED_GATHER=1
+    # routes through the single-kernel Pallas gather+MLP (also slower).
+    staged = os.environ.get("BENCH_STAGED", "1") == "1"
+    baked = os.environ.get("BENCH_BAKED", "0") == "1"
+    if staged and baked and net.mlp_fine is not None:
+        print("# staged disabled: baked encodings are per-MLP", file=sys.stderr)
+        staged = False
+    fused_gather = os.environ.get("BENCH_FUSED_GATHER", "0") == "1"
+
+    rays_per_sec = _render_rate(
+        net, cfg, NS, n_rays, n_iters, ray_chunk, staged, fast,
+        fused_gather=fused_gather, baked=baked,
+    )
+    flops_per_ray = model_flops_per_ray(net, cfg, NS, baked=baked)
     mfu = rays_per_sec * flops_per_ray / V5E_BF16_PEAK
 
-    # --- multi-chip story: virtual-mesh scaling subprocess (VERDICT #10) ---
+    # --- multi-view sweep: 1/2/3-view rays/s + MFU (VERDICT r2 #1/#7) ------
+    views = None
+    if os.environ.get("BENCH_VIEWS_SWEEP", "1") == "1":
+        sweep_rays = int(os.environ.get("BENCH_SWEEP_RAYS", 32768))
+        sweep_iters = int(os.environ.get("BENCH_SWEEP_ITERS", 4))
+        views = {}
+        for ns in (1, 2, 3):
+            if ns == NS:
+                r = rays_per_sec
+            else:
+                r = _render_rate(
+                    net, cfg, ns, sweep_rays, sweep_iters, ray_chunk,
+                    staged, fast,
+                )
+            f = model_flops_per_ray(net, cfg, ns)
+            views[str(ns)] = {
+                "rays_per_sec": round(r, 1),
+                "mfu": round(r * f / V5E_BF16_PEAK, 3),
+            }
+
+    # --- stage attribution --------------------------------------------------
+    stages = None
+    if os.environ.get("BENCH_STAGES", "1") == "1":
+        try:
+            stages = _bench_stages(net)
+        except Exception as e:  # pragma: no cover - diagnostics only
+            print(f"# stage bench failed: {e}", file=sys.stderr)
+
+    # --- training story -----------------------------------------------------
+    train = None
+    if os.environ.get("BENCH_TRAIN", "1") == "1":
+        try:
+            train = _bench_train(root)
+        except Exception as e:  # pragma: no cover - diagnostics only
+            print(f"# train bench failed: {e}", file=sys.stderr)
+
+    # --- multi-chip story: virtual-mesh scaling subprocess ------------------
     mesh = None
     if os.environ.get("BENCH_MESH", "1") == "1":
         import subprocess
@@ -214,6 +461,9 @@ def main():
                 ),
                 "mfu_vs_v5e_bf16_peak": round(mfu, 3),
                 "flops_per_ray": flops_per_ray,
+                "views": views,
+                "stages": stages,
+                "train": train,
                 "mesh_scaling": mesh,
             }
         )

@@ -75,6 +75,11 @@ class SyntheticSphereDataset(DatasetBase):
         H, W = self.image_size
         self.focal = 1.2 * W
         self.c = np.array([W * 0.5, H * 0.5], dtype=np.float32)
+        # scenes are deterministic per index, so cache decoded objects
+        # (bounded FIFO; ~1 MB/object at 8 views 128²) — re-tracing every
+        # epoch pull otherwise starves a fast accelerator step
+        self._cache: dict = {}
+        self._cache_cap = 128
 
     def __len__(self):
         return self.num_objects
@@ -137,6 +142,9 @@ class SyntheticSphereDataset(DatasetBase):
         )
 
     def __getitem__(self, index):
+        cached = self._cache.get(index)
+        if cached is not None:
+            return cached
         poses = self._poses(index)
         imgs, masks, bboxes = [], [], []
         for v in range(self.num_views):
@@ -149,7 +157,7 @@ class SyntheticSphereDataset(DatasetBase):
                 if mask.any()
                 else np.array([0, 0, self.image_size[1], self.image_size[0]], np.float32)
             )
-        return {
+        data = {
             "path": f"synthetic/{index:04d}",
             "img_id": index,
             "focal": np.float32(self.focal),
@@ -159,3 +167,7 @@ class SyntheticSphereDataset(DatasetBase):
             "bbox": np.stack(bboxes),
             "poses": poses.astype(np.float32),
         }
+        if len(self._cache) >= self._cache_cap:
+            self._cache.pop(next(iter(self._cache)))
+        self._cache[index] = data
+        return data

@@ -77,27 +77,29 @@ def grid_sample(
     iy = _compute_source_index(gy, H, padding_mode, align_corners)
 
     # Flat offset-indexed formulation: fold the batch (view) dimension into
-    # the row index against ONE (N*H*W, C) table instead of a batched gather.
-    # Value-identical, but on TPU the batched (N>1) gather costs ~2.3x the
-    # per-point floor while this form stays linear in total points (measured
-    # NS=2: 46.2 ms batched vs 20.3 ms flat per 786k points — the multi-view
-    # conditioning hot path, reference src/model/encoder.py:102-108).
+    # the row index against ONE (N*H*W, C) table instead of a batched gather,
+    # and keep everything — gathers AND the lerp — in (1, N*P, ...) shape
+    # until the very end. Value-identical, but on TPU the batched (N>1)
+    # gather costs ~2.3x the per-point floor, and lerping in (N, P, C) with
+    # (N, P, 1) weights costs ~2x again (measured NS=2 per 786k points:
+    # 46.2 ms batched, 39.4 ms flat-gather + batched lerp, 20.3 ms fully
+    # flat — the multi-view conditioning hot path, reference
+    # src/model/encoder.py:102-108; see scripts/probe_flat_gather.py).
     flat = features.reshape(1, N * H * W, C)
     off = (jnp.arange(N, dtype=jnp.int32) * (H * W))[:, None]
 
     def gather(iy_idx: jax.Array, ix_idx: jax.Array) -> jax.Array:
-        """Gather pixels at integer (y, x); zero out-of-bounds if needed."""
+        """Gather pixels at integer (y, x) -> (1, N*P, C); zero OOB if needed."""
         if padding_mode == "zeros":
             valid = (
                 (ix_idx >= 0) & (ix_idx <= W - 1) & (iy_idx >= 0) & (iy_idx <= H - 1)
-            )
+            ).reshape(1, N * P)
         else:
             valid = None
         ycl = jnp.clip(iy_idx, 0, H - 1)
         xcl = jnp.clip(ix_idx, 0, W - 1)
         idx = (ycl * W + xcl + off).astype(jnp.int32).reshape(1, N * P)
         vals = jnp.take_along_axis(flat, idx[..., None], axis=1)
-        vals = vals.reshape(N, P, C)
         if valid is not None:
             vals = jnp.where(valid[..., None], vals, 0.0)
         return vals
@@ -106,14 +108,14 @@ def grid_sample(
         # torch rounds half away from... uses nearbyint (round half to even)
         return gather(
             jnp.round(iy).astype(jnp.int32), jnp.round(ix).astype(jnp.int32)
-        )
+        ).reshape(N, P, C)
     if mode != "bilinear":
         raise ValueError(f"Unknown mode {mode!r}")
 
     ix0 = jnp.floor(ix)
     iy0 = jnp.floor(iy)
-    wx = (ix - ix0)[..., None]
-    wy = (iy - iy0)[..., None]
+    wx = (ix - ix0).reshape(1, N * P, 1)
+    wy = (iy - iy0).reshape(1, N * P, 1)
     ix0i = ix0.astype(jnp.int32)
     iy0i = iy0.astype(jnp.int32)
 
@@ -124,7 +126,7 @@ def grid_sample(
 
     top = v00 * (1.0 - wx) + v01 * wx
     bot = v10 * (1.0 - wx) + v11 * wx
-    return top * (1.0 - wy) + bot * wy
+    return (top * (1.0 - wy) + bot * wy).reshape(N, P, C)
 
 
 def build_quad_features(features: jax.Array) -> jax.Array:
@@ -161,23 +163,22 @@ def grid_sample_quad(
     iy = _compute_source_index(gy, H, "border", align_corners)
     ix0 = jnp.floor(ix)
     iy0 = jnp.floor(iy)
-    wx = (ix - ix0)[..., None]
-    wy = (iy - iy0)[..., None]
-    # flat offset-indexed single-table gather (see grid_sample): the batched
-    # N>1 gather is far off the per-point floor on TPU
+    # flat offset-indexed single-table gather with the lerp kept in
+    # (1, N*P, ...) shape (see grid_sample: both the batched N>1 gather and
+    # the (N, P, 1)-weighted lerp are ~2x off the flat formulation on TPU)
+    wx = (ix - ix0).reshape(1, N * P, 1)
+    wy = (iy - iy0).reshape(1, N * P, 1)
     off = (jnp.arange(N, dtype=jnp.int32) * (H * W))[:, None]
     idx = (iy0.astype(jnp.int32) * W + ix0.astype(jnp.int32) + off).reshape(
         1, N * P
     )
 
     flat = quad.reshape(1, N * H * W, C4)
-    rows = jnp.take_along_axis(flat, idx[..., None], axis=1).reshape(
-        N, P, C4
-    )                                                          # (N, P, 4C)
+    rows = jnp.take_along_axis(flat, idx[..., None], axis=1)   # (1, N*P, 4C)
     v00 = rows[..., 0 * C : 1 * C]
     v01 = rows[..., 1 * C : 2 * C]
     v10 = rows[..., 2 * C : 3 * C]
     v11 = rows[..., 3 * C : 4 * C]
     top = v00 * (1.0 - wx) + v01 * wx
     bot = v10 * (1.0 - wx) + v11 * wx
-    return top * (1.0 - wy) + bot * wy
+    return (top * (1.0 - wy) + bot * wy).reshape(N, P, C)

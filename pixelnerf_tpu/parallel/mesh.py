@@ -69,13 +69,23 @@ def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+# batch entries whose SECOND axis is the ray axis (sharded over 'ray');
+# everything else is per-object only. Keyed explicitly: a pure
+# shape-divisibility heuristic mis-shards e.g. c (SB, 2) on a ray=2 mesh or
+# images (SB, NS, ...) when NS divides the ray axis, conflicting with the
+# train step's declared in_shardings.
+RAY_AXIS_KEYS = ("rays", "rgb_gt")
+
+
 def shard_batch(mesh: Mesh, tree):
-    """Place a host batch onto the mesh: leading axis = objects over 'data',
-    second axis (if present, size-divisible) = rays over 'ray'."""
-    def place(x):
+    """Place a host batch onto the mesh: leading axis = objects over 'data';
+    for the ray-major entries (``RAY_AXIS_KEYS``) the second axis goes over
+    'ray'."""
+    def place(x, ray_axis: bool):
         x = np.asarray(x)
         if (
-            x.ndim >= 2
+            ray_axis
+            and x.ndim >= 2
             and x.shape[0] % mesh.shape[DATA_AXIS] == 0
             and x.shape[1] % mesh.shape[RAY_AXIS] == 0
         ):
@@ -86,4 +96,11 @@ def shard_batch(mesh: Mesh, tree):
             spec = P()
         return jax.device_put(x, NamedSharding(mesh, spec))
 
-    return jax.tree_util.tree_map(place, tree)
+    if isinstance(tree, dict):
+        return {
+            k: jax.tree_util.tree_map(
+                lambda x, k=k: place(x, k in RAY_AXIS_KEYS), v
+            )
+            for k, v in tree.items()
+        }
+    return jax.tree_util.tree_map(lambda x: place(x, True), tree)

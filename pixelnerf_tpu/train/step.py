@@ -92,6 +92,10 @@ def make_train_step(
         (_, (new_stats, metrics)), grads = jax.value_and_grad(
             loss_and_updates, has_aux=True
         )(state.params, state.batch_stats, batch, rng)
+        # global gradient norm: cheap (one reduction), standard training
+        # telemetry, and the instrument the multichip dryrun uses to certify
+        # the psum gradient path numerically (sharded == single device)
+        metrics = dict(metrics, gnorm=optax.global_norm(grads))
         updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = TrainState(

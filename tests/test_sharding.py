@@ -102,3 +102,70 @@ def test_shard_batch_placement():
     assert placed["images"].sharding.spec == ("data",)
     # NS=3 indivisible by ray axis -> second-dim sharding skipped
     assert placed["focal"].sharding.spec == ("data",)
+
+
+@requires_8dev
+def test_sharded_train_step_gradients_match_single_device():
+    """The psum gradient path: one lr=1.0 SGD step on the mesh and on one
+    device from identical state — the param delta IS the gradient, so
+    comparing updated params certifies the full backward + all-reduce
+    (SURVEY §2.2; the render-equality tests above only cover forward)."""
+    import optax
+
+    from pixelnerf_tpu.config import ConfigNode
+    from pixelnerf_tpu.train import TrainState, make_render_loss, make_train_step
+
+    net, variables, enc, rays = _setup(SB=4)
+    cfg = RenderConfig(n_coarse=8, n_fine=4, n_fine_depth=2, white_bkgd=True)
+    loss_fn = make_render_loss(ConfigNode())
+    sgd = optax.sgd(1.0)
+
+    rng = np.random.default_rng(1)
+    SB, R = 4, 32
+    host_batch = {
+        "images": rng.uniform(-1, 1, (SB, 2, 16, 16, 3)).astype(np.float32),
+        "poses": np.stack(
+            [
+                np.stack(
+                    [geometry.look_at(np.array([0.3 * i, 0.2, 2.0]), np.zeros(3))
+                     for i in range(2)]
+                )
+                for _ in range(SB)
+            ]
+        ).astype(np.float32),
+        "focal": np.full((SB,), 20.0, np.float32),
+        "c": np.full((SB, 2), 8.0, np.float32),
+        "rays": np.asarray(rays[:SB, :R]),
+        "rgb_gt": rng.uniform(0, 1, (SB, R, 3)).astype(np.float32),
+    }
+
+    def fresh_state():
+        return TrainState(
+            params=jax.tree_util.tree_map(jnp.array, variables["params"]),
+            batch_stats=jax.tree_util.tree_map(
+                jnp.array, variables.get("batch_stats", {})
+            ),
+            opt_state=sgd.init(variables["params"]),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    step_1d = make_train_step(net, cfg, sgd, loss_fn, mesh=None)
+    st_ref, m_ref = step_1d(
+        fresh_state(), {k: jnp.asarray(v) for k, v in host_batch.items()},
+        jax.random.PRNGKey(3),
+    )
+
+    for mesh in (make_mesh(), make_mesh(data=2), make_mesh(data=4)):
+        step_sh = make_train_step(net, cfg, sgd, loss_fn, mesh=mesh)
+        st_sh, m_sh = step_sh(
+            fresh_state(), shard_batch(mesh, host_batch), jax.random.PRNGKey(3)
+        )
+        assert abs(float(m_sh["t"]) - float(m_ref["t"])) < 1e-5
+        assert abs(float(m_sh["gnorm"]) - float(m_ref["gnorm"])) < 1e-4
+        for a, b in zip(
+            jax.tree_util.tree_leaves(st_sh.params),
+            jax.tree_util.tree_leaves(st_ref.params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-4
+            )
