@@ -214,7 +214,12 @@ def _bench_train(root):
     from pixelnerf_tpu.utils import geometry
 
     conf = load_config(os.path.join(root, "conf", "exp", "srn.conf"))
-    net = make_model(conf["model"])  # training dtype (f32 params)
+    net = make_model(conf["model"])  # reference parity: f32 compute
+    # mixed precision for the chip-filling config: bf16 compute, f32
+    # params/optimizer (flax param_dtype default) — measured convergence-
+    # equivalent on the synthetic overfit (scripts/probe_bf16_convergence.py)
+    conf["model"]["dtype"] = "bfloat16"
+    net_mp = make_model(conf["model"])
     cfg = RenderConfig(n_coarse=64, n_fine=32, n_fine_depth=16, white_bkgd=True)
     loss_fn = make_render_loss(conf.get_config("loss", ConfigNode()))
     optimizer = optax.adam(1e-4)
@@ -236,9 +241,9 @@ def _bench_train(root):
 
     flops_per_ray = model_flops_per_ray(net, cfg, NS)
 
-    def run_config(R, ray_chunk, iters):
+    def run_config(R, ray_chunk, iters, step_net=net):
         step = make_train_step(
-            net, cfg, optimizer, loss_fn, mesh=None, ray_chunk=ray_chunk
+            step_net, cfg, optimizer, loss_fn, mesh=None, ray_chunk=ray_chunk
         )
         state = TrainState(
             params=jax.tree_util.tree_map(jnp.array, variables["params"]),
@@ -282,7 +287,12 @@ def _bench_train(root):
         }, dt
 
     ref, dt_ref = run_config(R=128, ray_chunk=None, iters=20)
-    filling, _ = run_config(R=2048, ray_chunk=1024, iters=8)
+    # chip-filling: bf16 compute (f32 params), 256-ray scan chunks with
+    # full remat — the measured optimum (scripts/probe_train_{chunk,bf16}.py:
+    # chunk 1024->256 +6%, f32->bf16 +55%; "dots" remat policy and larger R
+    # both measured slower)
+    filling, _ = run_config(R=2048, ray_chunk=256, iters=8, step_net=net_mp)
+    filling["mixed_precision"] = True
 
     # real-loop ratio at the reference config: the Trainer loop (host batch
     # assembly from the synthetic dataset + dispatch + deferred metric
@@ -305,8 +315,10 @@ def _bench_train(root):
         dset = SyntheticSphereDataset(
             num_objects=8, num_views=8, image_size=(H, W)
         )
+        # 4 workers: at 2 the pipeline cannot quite feed the 30 steps/s
+        # compiled step and data-wait contaminates the ratio
         pipe = RayBatchPipeline(
-            dset, batch_size=SB, rays_per_object=128, views=(NS,), workers=2
+            dset, batch_size=SB, rays_per_object=128, views=(NS,), workers=4
         )
         n_loop = 30
         pull_times = []
@@ -356,7 +368,10 @@ def main():
     # per-point work before the combine layer scales with NS.
     NS = int(os.environ.get("BENCH_VIEWS", 1))
     n_rays = int(os.environ.get("BENCH_RAYS", 65536))
-    ray_chunk = int(os.environ.get("BENCH_CHUNK", 4096))
+    # 256-ray scan microbatches are the measured optimum at every view
+    # count (round-3 chunk sweep, PERF.md) — the working set between GEMMs
+    # stays VMEM-resident
+    ray_chunk = int(os.environ.get("BENCH_CHUNK", 256))
     n_iters = int(os.environ.get("BENCH_ITERS", 10))
 
     # The fused Pallas MLP kernel (BENCH_FAST=1) matches but does not beat
@@ -377,6 +392,10 @@ def main():
         print("# staged disabled: baked encodings are per-MLP", file=sys.stderr)
         staged = False
     fused_gather = os.environ.get("BENCH_FUSED_GATHER", "0") == "1"
+    # BENCH_QUAD=1: 4-corner quad-map gather (one row-gather per point
+    # against a 4C-wide corner table instead of 4 C-wide gathers)
+    if os.environ.get("BENCH_QUAD", "0") == "1":
+        net = net.clone(quad_gather=True)
 
     rays_per_sec = _render_rate(
         net, cfg, NS, n_rays, n_iters, ray_chunk, staged, fast,

@@ -13,7 +13,7 @@ from typing import Optional
 import jax
 import numpy as np
 
-from ..render.renderer import RenderConfig, render_rays
+from ..render.renderer import RenderConfig, render_rays, render_rays_chunked
 
 
 class FullRenderer:
@@ -28,11 +28,18 @@ class FullRenderer:
         want_weights: bool = False,
         fast: bool = False,
         staged: bool = True,
+        scan_chunk: int = 256,
     ):
         self.net = net
         self.cfg = cfg
         self.mesh = mesh
-        self.ray_chunk = int(ray_chunk)
+        self.scan_chunk = int(scan_chunk)
+        # host chunks are scanned on-device in scan_chunk microbatches
+        # (memory-bounded, and the per-microbatch working set tunes XLA's
+        # fusion efficiency) — round the host chunk to a scan multiple
+        self.ray_chunk = max(
+            self.scan_chunk, int(ray_chunk) // self.scan_chunk * self.scan_chunk
+        )
         self.want_weights = want_weights
 
         def _render(variables, enc, rays, rng):
@@ -67,6 +74,20 @@ class FullRenderer:
                 and net.mlp_fine is not None
             )
             q = (features_fn, mlp_fn) if (staged and not baked_per_mlp) else query_fn
+            # XLA's fusion efficiency peaks at ~256-ray scan microbatches at
+            # every view count (the working set stays VMEM-resident between
+            # GEMMs; measured NS=1 124.4k rays/s at 256 vs 112.4k at 4096,
+            # NS=3 48.8k vs 42.0k — PERF.md round-3 chunk sweep)
+            sc = self.scan_chunk
+            B = rays.shape[1]
+            # mesh path: rays are already split across chips (each chip sees
+            # B/n_chips), so keep the single fused render there — scanning a
+            # sharded axis would force reshards
+            if mesh is None and B > sc and B % sc == 0:
+                return render_rays_chunked(
+                    q, rays, rng, cfg, sc,
+                    want_weights=want_weights, use_viewdirs=net.use_viewdirs,
+                )
             return render_rays(
                 q, rays, rng, cfg,
                 want_weights=want_weights, use_viewdirs=net.use_viewdirs,

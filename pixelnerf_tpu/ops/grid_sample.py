@@ -85,20 +85,24 @@ def grid_sample(
     # 46.2 ms batched, 39.4 ms flat-gather + batched lerp, 20.3 ms fully
     # flat — the multi-view conditioning hot path, reference
     # src/model/encoder.py:102-108; see scripts/probe_flat_gather.py).
+    # grid may carry more batch entries than the feature map (broadcast:
+    # one map sampled by Ng point sets) — offsets then stay 0
+    Ng = grid.shape[0]
+    assert Ng == N or N == 1, f"batch mismatch: features {N}, grid {Ng}"
     flat = features.reshape(1, N * H * W, C)
-    off = (jnp.arange(N, dtype=jnp.int32) * (H * W))[:, None]
+    off = (jnp.arange(Ng, dtype=jnp.int32) * (H * W if N > 1 else 0))[:, None]
 
     def gather(iy_idx: jax.Array, ix_idx: jax.Array) -> jax.Array:
-        """Gather pixels at integer (y, x) -> (1, N*P, C); zero OOB if needed."""
+        """Gather pixels at integer (y, x) -> (1, Ng*P, C); zero OOB if needed."""
         if padding_mode == "zeros":
             valid = (
                 (ix_idx >= 0) & (ix_idx <= W - 1) & (iy_idx >= 0) & (iy_idx <= H - 1)
-            ).reshape(1, N * P)
+            ).reshape(1, Ng * P)
         else:
             valid = None
         ycl = jnp.clip(iy_idx, 0, H - 1)
         xcl = jnp.clip(ix_idx, 0, W - 1)
-        idx = (ycl * W + xcl + off).astype(jnp.int32).reshape(1, N * P)
+        idx = (ycl * W + xcl + off).astype(jnp.int32).reshape(1, Ng * P)
         vals = jnp.take_along_axis(flat, idx[..., None], axis=1)
         if valid is not None:
             vals = jnp.where(valid[..., None], vals, 0.0)
@@ -108,14 +112,14 @@ def grid_sample(
         # torch rounds half away from... uses nearbyint (round half to even)
         return gather(
             jnp.round(iy).astype(jnp.int32), jnp.round(ix).astype(jnp.int32)
-        ).reshape(N, P, C)
+        ).reshape(Ng, P, C)
     if mode != "bilinear":
         raise ValueError(f"Unknown mode {mode!r}")
 
     ix0 = jnp.floor(ix)
     iy0 = jnp.floor(iy)
-    wx = (ix - ix0).reshape(1, N * P, 1)
-    wy = (iy - iy0).reshape(1, N * P, 1)
+    wx = (ix - ix0).reshape(1, Ng * P, 1)
+    wy = (iy - iy0).reshape(1, Ng * P, 1)
     ix0i = ix0.astype(jnp.int32)
     iy0i = iy0.astype(jnp.int32)
 
@@ -126,7 +130,7 @@ def grid_sample(
 
     top = v00 * (1.0 - wx) + v01 * wx
     bot = v10 * (1.0 - wx) + v11 * wx
-    return (top * (1.0 - wy) + bot * wy).reshape(N, P, C)
+    return (top * (1.0 - wy) + bot * wy).reshape(Ng, P, C)
 
 
 def build_quad_features(features: jax.Array) -> jax.Array:

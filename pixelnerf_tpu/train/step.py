@@ -13,6 +13,7 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -28,6 +29,7 @@ def make_train_step(
     mesh: Optional[Mesh] = None,
     train_encoder: bool = True,
     ray_chunk: Optional[int] = None,
+    remat=True,
 ):
     """Build ``step(state, batch, rng) -> (state, metrics)``, jitted.
 
@@ -78,7 +80,7 @@ def make_train_step(
             # per-object ray counts; gradients flow through the scan
             outputs = render_rays_chunked(
                 q, batch["rays"], rng, cfg, ray_chunk, train=True,
-                use_viewdirs=net.use_viewdirs, remat=True,
+                use_viewdirs=net.use_viewdirs, remat=remat,
             )
         else:
             outputs = render_rays(
@@ -89,6 +91,14 @@ def make_train_step(
         return loss, (new_stats, metrics)
 
     def step(state: TrainState, batch, rng):
+        # rng may be a PRNG key array OR a host int seed: the trainer's hot
+        # loop passes a plain int32 counter (uploaded with the dispatch) and
+        # the key is derived on-device — a host-side jax.random.split per
+        # batch is a separate dispatch round trip, which through a remoted
+        # TPU runtime costs a large fraction of the step itself
+        rng = jnp.asarray(rng)
+        if rng.ndim == 0:
+            rng = jax.random.PRNGKey(rng)
         (_, (new_stats, metrics)), grads = jax.value_and_grad(
             loss_and_updates, has_aux=True
         )(state.params, state.batch_stats, batch, rng)

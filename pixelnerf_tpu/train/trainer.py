@@ -124,6 +124,8 @@ class Trainer:
         self.train_pipeline = train_pipeline
         self.test_pipeline = test_pipeline
         self.rng = jax.random.PRNGKey(seed)
+        # int32 space partitioned by trainer seed (hot-loop step seeds)
+        self._seed_counter = (seed % 2048) * 1_000_000
 
         self.writer = None
         if os.environ.get("PIXELNERF_NO_TB") != "1":
@@ -161,6 +163,14 @@ class Trainer:
     def _next_key(self):
         self.rng, key = jax.random.split(self.rng)
         return key
+
+    def _next_seed(self):
+        """Host-side RNG seed for the hot train-step path: a plain int32
+        (the step derives the key on-device). ``_next_key``'s device-side
+        split is a separate dispatch per call — through a remoted TPU
+        runtime that round trip costs a large fraction of a train step."""
+        self._seed_counter += 1
+        return np.int32(self._seed_counter)
 
     def _log(self, tag, scalars, step):
         if self.writer is not None:
@@ -217,7 +227,7 @@ class Trainer:
                     self.train_step, self.eval_step = self._steps_for(cfg)
                 _t1 = time.time()
                 self.state, metrics = self.train_step(
-                    self.state, batch, self._next_key()
+                    self.state, batch, self._next_seed()
                 )
                 _t2 = time.time()
                 self._host_step += 1
@@ -239,7 +249,12 @@ class Trainer:
                     t_last = time.time()
                     if self._pending is not None:
                         p_epoch, p_bidx, p_step, p_metrics, p_dt = self._pending
-                        p_metrics = {k: float(v) for k, v in p_metrics.items()}
+                        # ONE transfer for the whole dict: per-key float()
+                        # is one device_get round trip each
+                        p_metrics = {
+                            k: float(v)
+                            for k, v in jax.device_get(p_metrics).items()
+                        }
                         print(
                             f"E{p_epoch} B{p_bidx} "
                             + " ".join(

@@ -68,3 +68,20 @@ def test_pixel_center_exact():
     out = np.asarray(grid_sample(feats, grid))
     assert out[0, 0, 0] == feats[0, 0, 0, 0]
     assert out[0, 1, 0] == feats[0, 2, 3, 0]
+
+
+def test_grid_sample_broadcasts_single_feature_map():
+    """features N=1 sampled by Ng>1 grids — broadcast tolerance the flat
+    offset-indexed formulation must preserve (regression: round-3 refactor
+    raised a reshape error here)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    feats = jnp.asarray(rng.normal(size=(1, 6, 7, 9)).astype(np.float32))
+    grid = jnp.asarray(rng.uniform(-1.2, 1.2, (4, 11, 2)).astype(np.float32))
+    out = grid_sample(feats, grid, "bilinear", "border", True)
+    assert out.shape == (4, 11, 9)
+    ref = grid_sample(
+        jnp.broadcast_to(feats, (4, 6, 7, 9)), grid, "bilinear", "border", True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
