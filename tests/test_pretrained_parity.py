@@ -1,0 +1,245 @@
+"""Real-checkpoint parity: the authors' released weights through both stacks.
+
+``tests/test_reference_e2e.py`` certifies code equivalence with random
+weights. This module upgrades that instrument to the REAL released
+checkpoints the moment they exist on disk (``scripts/fetch_pretrained.py``,
+reference README.md:55-57): for every ``checkpoints/<expname>/pixel_nerf_latest``
+found, it
+
+  1. loads the torch state_dict into the reference's own model built from the
+     reference's own conf (``/root/reference/conf/exp/*.conf``, parsed by OUR
+     mini-HOCON — the reader APIs are duck-compatible with pyhocon),
+  2. imports the same state_dict through ``models.torch_import`` into our
+     flax model built from the same conf,
+  3. renders identical rays through both stacks with matched deterministic
+     sampling and asserts >50 dB agreement.
+
+In zero-egress environments every case skips (loudly, pointing at the fetch
+script). That skip is the documented residual gap of BASELINE.md's
+"<=0.1 dB vs released checkpoints" criterion — see PARITY.md.
+
+Reference: src/model/models.py:268-316 (checkpoint layout),
+train/trainlib/trainer.py:193-196 (state_dict save), expconf.conf (expname ->
+conf mapping).
+"""
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF_ROOT = "/root/reference"
+REF_SRC = os.path.join(REF_ROOT, "src")
+
+# expname -> (conf file, render geometry). Geometry follows each dataset's
+# loader: SRN cars/chairs 128^2 z in [0.8, 1.8] (SRNDataset.py), NMR sn64
+# 64^2 z in [1.2, 4.0] (DVRDataset.py defaults), DTU 3-source-view with
+# z in [0.1, 5.0] (dtu conf).
+CASES = {
+    "srn_car": ("conf/exp/srn.conf", dict(H=128, W=128, focal=131.25,
+                                          z=(0.8, 1.8), NS=1)),
+    "srn_chair": ("conf/exp/srn.conf", dict(H=128, W=128, focal=131.25,
+                                            z=(0.8, 1.8), NS=1)),
+    "sn64": ("conf/exp/sn64.conf", dict(H=64, W=64, focal=120.0,
+                                        z=(1.2, 4.0), NS=2)),
+    "sn64_unseen": ("conf/exp/sn64_unseen.conf", dict(H=64, W=64, focal=120.0,
+                                                      z=(1.2, 4.0), NS=2)),
+    "dtu": ("conf/exp/dtu.conf", dict(H=128, W=128, focal=290.0,
+                                      z=(0.1, 5.0), NS=3)),
+}
+
+
+def _psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    return float("inf") if mse == 0 else -10.0 * np.log10(mse)
+
+
+def _load_reference_modules():
+    """Import the reference model/renderer (torch CPU), stubbing the two
+    external deps this image lacks (same recipe as test_reference_e2e)."""
+    if not os.path.isdir(REF_SRC):
+        pytest.skip("reference source tree not available")
+    if "dotmap" not in sys.modules:
+        dm = types.ModuleType("dotmap")
+
+        class DotMap(dict):
+            def __getattr__(self, k):
+                try:
+                    return self[k]
+                except KeyError:
+                    raise AttributeError(k)
+
+            def __setattr__(self, k, v):
+                self[k] = v
+
+            def toDict(self):
+                return dict(self)
+
+        dm.DotMap = DotMap
+        sys.modules["dotmap"] = dm
+    if "pyhocon" not in sys.modules:
+        ph = types.ModuleType("pyhocon")
+        ph.ConfigFactory = type("ConfigFactory", (), {})
+        sys.modules["pyhocon"] = ph
+    import torchvision_stub
+
+    torchvision_stub.install()
+    if REF_SRC not in sys.path:
+        sys.path.insert(0, REF_SRC)
+    import model as ref_model
+    import render.nerf as ref_nerf
+
+    return ref_model, ref_nerf
+
+
+@pytest.mark.parametrize("expname", sorted(CASES))
+def test_released_checkpoint_parity(monkeypatch, expname):
+    ckpt = os.path.join(REPO, "checkpoints", expname, "pixel_nerf_latest")
+    if not os.path.isfile(ckpt):
+        pytest.skip(
+            f"released checkpoint {ckpt} not present — run "
+            "`python scripts/fetch_pretrained.py` in a networked environment"
+        )
+    _run_parity(expname, ckpt, monkeypatch)
+
+
+@pytest.mark.parametrize("expname", ["srn_car", "dtu"])
+def test_parity_harness_roundtrip(monkeypatch, tmp_path, expname):
+    """Always-on validation that the gated test above WOULD work: build the
+    reference net from its released conf with random weights, persist it the
+    way the reference does (``torch.save(net.state_dict())``,
+    trainlib/trainer.py:193-196) and run the identical parity body on that
+    file. When the real bundle lands, only the weights change."""
+    import torch
+
+    ref_model, _ = _load_reference_modules()
+    from pixelnerf_tpu.config import load_config
+
+    conf = load_config(os.path.join(REF_ROOT, CASES[expname][0]))
+    conf["model"]["encoder"]["pretrained"] = False
+    torch.manual_seed(3)
+    net = ref_model.make_model(conf["model"])
+    ckpt = tmp_path / "pixel_nerf_latest"
+    torch.save(net.state_dict(), str(ckpt))
+    _run_parity(expname, str(ckpt), monkeypatch)
+
+
+def _run_parity(expname, ckpt, monkeypatch):
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from pixelnerf_tpu.config import load_config
+    from pixelnerf_tpu.models import make_model
+    from pixelnerf_tpu.models.torch_import import import_state_dict
+    from pixelnerf_tpu.render.renderer import RenderConfig, render_rays
+    from pixelnerf_tpu.utils import geometry
+
+    ref_model, ref_nerf = _load_reference_modules()
+    conf_rel, geo = CASES[expname]
+    # the reference's own conf, parsed by our mini-HOCON (reader-API
+    # compatible with pyhocon), drives BOTH model constructions
+    conf = load_config(os.path.join(REF_ROOT, conf_rel))
+    conf["model"]["encoder"]["pretrained"] = False  # weights come from ckpt
+
+    sd_torch = torch.load(ckpt, map_location="cpu")
+    ref_net = ref_model.make_model(conf["model"]).eval()
+    ref_net.load_state_dict(sd_torch, strict=True)
+
+    net = make_model(conf["model"])
+    variables = import_state_dict(
+        {k: v.detach().numpy() for k, v in sd_torch.items()}
+    )
+
+    H, W, NS = geo["H"], geo["W"], geo["NS"]
+    z_near, z_far = geo["z"]
+    B = 32
+    rng = np.random.default_rng(1)
+    images = rng.uniform(-1, 1, (1, NS, H, W, 3)).astype(np.float32)
+    r_cam = 0.5 * (z_near + z_far)
+    poses = np.stack(
+        [
+            geometry.look_at(
+                np.array(
+                    [r_cam * np.sin(0.4 * v), 0.1 * v, r_cam * np.cos(0.4 * v)],
+                    np.float32,
+                ),
+                np.zeros(3),
+            )
+            for v in range(NS)
+        ]
+    ).astype(np.float32)[None]
+    focal = np.float32(geo["focal"])
+    rays = np.asarray(
+        geometry.gen_rays(
+            jnp.asarray(poses[:, 0]), W, H, jnp.asarray(focal), z_near, z_far
+        )
+    ).reshape(1, -1, 8)[:, :: (H * W) // B][:, :B]
+
+    # matched deterministic sampling (see test_reference_e2e)
+    monkeypatch.setattr(torch, "rand_like", lambda x: torch.full_like(x, 0.5))
+    monkeypatch.setattr(torch, "randn_like", lambda x: torch.zeros_like(x))
+
+    def fixed_rand(*sizes, **kw):
+        dtype = kw.get("dtype") or torch.float32
+        return torch.full(tuple(int(s) for s in sizes), 0.5, dtype=dtype)
+
+    monkeypatch.setattr(torch, "rand", fixed_rand)
+    monkeypatch.setattr(
+        jax.random,
+        "uniform",
+        lambda key, shape=(), dtype=jnp.float32, minval=0.0, maxval=1.0: jnp.full(
+            shape, 0.5, dtype
+        ),
+    )
+    monkeypatch.setattr(
+        jax.random,
+        "normal",
+        lambda key, shape=(), dtype=jnp.float32: jnp.zeros(shape, dtype),
+    )
+
+    lindisp = conf["renderer"].get_bool("lindisp", False)
+    renderer_ref = ref_nerf.NeRFRenderer.from_conf(
+        conf["renderer"], white_bkgd=True, lindisp=lindisp
+    )
+    render_par = renderer_ref.bind_parallel(ref_net, gpus=None)
+    with torch.no_grad():
+        ref_net.encode(
+            torch.from_numpy(images.transpose(0, 1, 4, 2, 3)),
+            torch.from_numpy(poses),
+            torch.tensor(focal),
+        )
+        out_ref = render_par(torch.from_numpy(rays))
+
+    enc = net.apply(
+        variables, jnp.asarray(images), jnp.asarray(poses), jnp.asarray(focal),
+        method=net.encode,
+    )
+
+    def query_fn(xyz, viewdirs, coarse):
+        return net.apply(
+            variables, enc, xyz, viewdirs=viewdirs, coarse=coarse,
+            method=net.query,
+        )
+
+    cfg = RenderConfig.from_conf(
+        conf["renderer"], white_bkgd=True, lindisp=lindisp
+    )
+    out = render_rays(
+        query_fn, jnp.asarray(rays), jax.random.PRNGKey(0), cfg,
+        train=False, use_viewdirs=net.use_viewdirs,
+    )
+
+    branches = ("coarse", "fine") if cfg.using_fine else ("coarse",)
+    for branch in branches:
+        rgb_ref = np.asarray(out_ref[branch]["rgb"])
+        rgb_ours = np.asarray(out[branch]["rgb"])
+        assert rgb_ref.shape == rgb_ours.shape
+        psnr = _psnr(rgb_ours, rgb_ref)
+        assert psnr > 50.0, (
+            f"{expname}/{branch}: released-weight render disagrees "
+            f"({psnr:.1f} dB)"
+        )
