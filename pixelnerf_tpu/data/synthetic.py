@@ -59,6 +59,7 @@ class SyntheticSphereDataset(DatasetBase):
         seed: int = 0,
         stage: str = "train",
         white_bkgd: bool = True,
+        cache_cap: int = 128,
     ):
         # stage shifts the seed so train/val/test scenes differ
         stage_offset = {"train": 0, "val": 10_000, "test": 20_000}.get(stage, 0)
@@ -77,9 +78,12 @@ class SyntheticSphereDataset(DatasetBase):
         self.c = np.array([W * 0.5, H * 0.5], dtype=np.float32)
         # scenes are deterministic per index, so cache decoded objects
         # (bounded FIFO; ~1 MB/object at 8 views 128²) — re-tracing every
-        # epoch pull otherwise starves a fast accelerator step
+        # epoch pull otherwise starves a fast accelerator step. For large
+        # num_objects, raise via --override data.cache_cap=<num_objects>
+        # (a thrashing cache costs 2-3x step time; 125 GB host RAM holds
+        # thousands of scenes easily)
         self._cache: dict = {}
-        self._cache_cap = 128
+        self._cache_cap = int(cache_cap)
 
     def __len__(self):
         return self.num_objects

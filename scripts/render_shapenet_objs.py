@@ -1,10 +1,18 @@
-"""Blender renderer for real ShapeNet OBJ meshes (multi-object dataset).
+"""Renderer for real ShapeNet OBJ meshes (multi-object dataset).
 
-TPU-environment note: Blender (bpy) is not installed in the build image, so
-this script cannot run here — it exists so a user with Blender can produce
-the multi-object dataset from real ShapeNet geometry, with the same on-disk
-contract as `scripts/make_multi_obj_dataset.py` (which generates the same
-layout from an analytic renderer and IS runnable/tested in-env):
+Two backends, same on-disk contract:
+
+* ``--backend blender`` — bpy engines (eevee/cycles), run under
+  ``blender --background --python``; full shading quality. bpy is not
+  installed in the TPU build image, so this path needs a Blender install.
+* ``--backend software`` — the built-in numpy z-buffer rasterizer
+  (``pixelnerf_tpu.utils.mesh_raster``): flat-Lambertian + .mtl diffuse
+  colors, no external dependency, runs and is tested in-env
+  (tests/test_trajectories.py). Use it to build real-geometry datasets
+  where Blender is unavailable.
+
+The contract matches `scripts/make_multi_obj_dataset.py` (which generates
+the same layout from an analytic sphere tracer):
 
     <out>/<scene>/view_XXX_obj.png   RGBA object pass (film transparent)
     <out>/<scene>/view_XXX_depth.exr optional depth pass
@@ -102,6 +110,12 @@ def _parse_args(argv):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--val_frac", type=float, default=0.1)
     p.add_argument("--test_frac", type=float, default=0.1)
+    p.add_argument(
+        "--backend", default="blender", choices=["blender", "software"],
+        help="'blender' = bpy engines (run under `blender --background "
+        "--python ...`); 'software' = the built-in numpy z-buffer "
+        "rasterizer (no Blender needed; flat Lambertian + .mtl Kd colors)",
+    )
     p.add_argument("--engine", default="eevee", choices=["eevee", "cycles"])
     p.add_argument("--n_samples", type=int, default=64, help="cycles samples")
     p.add_argument("--light_env", default=None, help="HDRI path (cycles)")
@@ -264,11 +278,164 @@ def _delete_all(bpy, names):
                 coll.remove(block)
 
 
+# --------------------------------------------------------------------------
+# Software backend (no Blender): numpy z-buffer rasterizer
+# --------------------------------------------------------------------------
+
+# Blender's default camera: 50mm focal length on a 36mm sensor
+BLENDER_DEFAULT_ANGLE_X = 2.0 * math.atan(36.0 / (2.0 * 50.0))
+
+
+def software_main(args):
+    """Render the same dataset contract with ``utils.mesh_raster`` instead of
+    bpy: OBJ import normalization (z-spin, diameter ~2, rest on z=0),
+    quadrant placement, tracked orbit camera from the shared
+    ``view_eulers``, RGBA object pass + optional depth/alpha passes,
+    transforms.json. Semantics follow the reference renderer
+    (render_shapenet.py:35-81,287-325,399-441,507-522); the imaging model is
+    flat-shaded rasterization rather than a Blender engine."""
+    import imageio.v2 as imageio
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from pixelnerf_tpu.utils.geometry import look_at
+    from pixelnerf_tpu.utils.mesh_raster import (
+        load_obj,
+        normalize_mesh,
+        rasterize,
+    )
+
+    rng = np.random.default_rng(args.seed)
+    model_dirs = [
+        os.path.join(args.src, d)
+        for d in sorted(os.listdir(args.src))
+        if os.path.isdir(os.path.join(args.src, d))
+    ]
+    train, val, test = split_scenes(model_dirs, args.val_frac, args.test_frac, rng)
+    write_split_files(args.src, train, val, test)
+    pool = {"train": train, "val": val, "test": test}[args.split]
+    if not pool:
+        raise SystemExit(
+            f"the {args.split} split is empty ({len(model_dirs)} models, "
+            f"val_frac={args.val_frac}, test_frac={args.test_frac}) — add "
+            "models or adjust the fractions"
+        )
+
+    H = W = args.size
+    angle_x = BLENDER_DEFAULT_ANGLE_X
+    focal = 0.5 * W / math.tan(0.5 * angle_x)
+
+    for scene_i in range(args.n_scenes):
+        picks = [pool[int(i)] for i in rng.integers(0, len(pool), args.n_objects)]
+        scene_name = "_".join(os.path.basename(p) for p in picks)[:80]
+        scene_dir = os.path.join(args.out, args.split, f"{scene_i:05d}_{scene_name}")
+        if os.path.isdir(scene_dir) and not args.overwrite:
+            print(f"skip existing {scene_dir}")
+            continue
+        os.makedirs(scene_dir, exist_ok=True)
+
+        # import + normalize each pick; track each mesh's world "location"
+        # (the z rest shift; x/y from quadrant placement below)
+        meshes = []
+        for p in picks:
+            verts, faces, colors = load_obj(os.path.join(p, args.model_path))
+            z_rot = rng.uniform(0.0, 2.0 * np.pi)
+            verts, (lo, hi) = normalize_mesh(verts, z_rot)
+            meshes.append({"verts": verts, "faces": faces, "colors": colors,
+                           "lo": lo, "hi": hi})
+
+        # placement: 1 object centered at the origin; 2 objects shifted into
+        # opposite quadrants by their own bbox minima (reference :287-325)
+        locations = []
+        if len(meshes) == 1:
+            locations.append(np.zeros(3, np.float32))
+            cam_dist = 4.0
+        else:
+            sign = -1.0
+            for m in meshes:
+                shift = np.array(
+                    [sign * m["lo"][0], sign * m["lo"][1], 0.0], np.float32
+                )
+                m["verts"] = m["verts"] + shift
+                locations.append(shift)
+                sign *= -1.0
+            cam_dist = 6.0
+        lookat = np.mean(np.stack(locations), axis=0)
+
+        # merge into one soup for the rasterizer
+        all_verts = np.concatenate([m["verts"] for m in meshes])
+        offs = np.cumsum([0] + [m["verts"].shape[0] for m in meshes[:-1]])
+        all_faces = np.concatenate(
+            [m["faces"] + o for m, o in zip(meshes, offs)]
+        )
+        all_colors = np.concatenate([m["colors"] for m in meshes])
+
+        pitches, yaws = view_eulers(args.split, args.n_views, rng)
+        frames = []
+        for i in range(args.n_views):
+            # tracked orbit: offset (0, dist, 0) pitched about x then spun
+            # about z (the bpy TRACK_TO empty's XYZ euler), z-up world
+            cp, sp = math.cos(pitches[i]), math.sin(pitches[i])
+            cy, sy = math.cos(yaws[i]), math.sin(yaws[i])
+            off = np.array(
+                [-sy * cp * cam_dist, cy * cp * cam_dist, sp * cam_dist],
+                np.float32,
+            )
+            pose = look_at(lookat + off, lookat, world_up=(0.0, 0.0, 1.0))
+            rgb, depth, alpha = rasterize(
+                all_verts, all_faces, all_colors, pose, H, W, focal, bg=0.0
+            )
+            stem = f"view_{i:03d}"
+            rgba = np.concatenate(
+                [
+                    (np.clip(rgb, 0, 1) * 255).astype(np.uint8),
+                    (alpha * 255).astype(np.uint8)[..., None],
+                ],
+                axis=-1,
+            )
+            imageio.imwrite(os.path.join(scene_dir, f"{stem}_obj.png"), rgba)
+            if args.render_alpha:
+                imageio.imwrite(
+                    os.path.join(scene_dir, f"{stem}_alpha.png"),
+                    (alpha * 255).astype(np.uint8),
+                )
+            if args.render_depth:
+                from pixelnerf_tpu.utils.exr import write_exr
+
+                write_exr(
+                    os.path.join(scene_dir, f"{stem}_depth.exr"),
+                    depth.astype(np.float32),
+                )
+            frames.append(
+                {
+                    "transform_matrix": pose.tolist(),
+                    "file_path": os.path.join(scene_dir, stem),
+                }
+            )
+        with open(os.path.join(scene_dir, "transforms.json"), "w") as f:
+            json.dump(
+                {
+                    "frames": frames,
+                    "model_ids": [os.path.basename(p) for p in picks],
+                    "camera_angle_x": angle_x,
+                },
+                f,
+                indent=1,
+            )
+        print(f"rendered {scene_dir}")
+
+
 def main():
+    argv = sys.argv[sys.argv.index("--") + 1 :] if "--" in sys.argv else sys.argv[1:]
+    args = _parse_args(argv)
+    if args.backend == "software":
+        software_main(args)
+        return
+    blender_main(args)
+
+
+def blender_main(args):
     import bpy  # only available inside Blender
 
-    argv = sys.argv[sys.argv.index("--") + 1 :] if "--" in sys.argv else []
-    args = _parse_args(argv)
     rng = np.random.default_rng(args.seed)
 
     model_dirs = [
