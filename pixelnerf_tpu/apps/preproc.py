@@ -41,7 +41,38 @@ def _segment_pointrend(img_bgr, coco_class: int):
     return masks[int(np.argmax(areas))].astype(np.uint8) * 255
 
 
-def _segment_grabcut(img_bgr, iters: int = 5):
+def _cleanup_mask(mask):
+    """Largest connected component + morphological close + hole fill —
+    removes stray background blobs and closes interior holes (car windows
+    etc.) that the color model misclassifies."""
+    import cv2
+
+    n, lab, stats, _ = cv2.connectedComponentsWithStats(
+        (mask > 0).astype(np.uint8), 8
+    )
+    if n > 1:
+        big = 1 + int(np.argmax(stats[1:, cv2.CC_STAT_AREA]))
+        mask = np.where(lab == big, 255, 0).astype(np.uint8)
+    k = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (7, 7))
+    mask = cv2.morphologyEx(mask, cv2.MORPH_CLOSE, k)
+    inv = (mask == 0).astype(np.uint8)
+    ff = inv.copy()
+    h, w = ff.shape
+    border = np.zeros((h + 2, w + 2), np.uint8)
+    cv2.floodFill(ff, border, (0, 0), 0)  # ff keeps only interior holes
+    return np.where((mask > 0) | (ff > 0), 255, 0).astype(np.uint8)
+
+
+def _segment_grabcut(img_bgr, iters: int = 10):
+    """Two-pass GrabCut seeded by a central prior, with mask cleanup.
+
+    Pass 1 runs rect-initialized GrabCut; pass 2 re-derives trimap seeds
+    from the cleaned pass-1 mask (eroded core = sure-FG, dilated complement
+    = sure-BG) and refines with mask-initialized GrabCut. Measured against
+    the reference's shipped PointRend outputs on its sample photos
+    (input/{police,toyota}.jpg): IoU 0.786/0.732 vs 0.759/0.665 for the
+    single rect pass (tests/test_apps_smoke.py pins the floor).
+    """
     import cv2
 
     h, w = img_bgr.shape[:2]
@@ -56,7 +87,26 @@ def _segment_grabcut(img_bgr, iters: int = 5):
     ).astype(np.uint8)
     if out.sum() == 0:
         return None
-    return out
+    m1 = _cleanup_mask(out)
+    kk = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (15, 15))
+    sure_fg = cv2.erode(m1, kk)
+    sure_bg = cv2.dilate(m1, kk) == 0
+    mask2 = np.full((h, w), cv2.GC_PR_FGD, np.uint8)
+    mask2[m1 == 0] = cv2.GC_PR_BGD
+    mask2[sure_fg > 0] = cv2.GC_FGD
+    mask2[sure_bg] = cv2.GC_BGD
+    try:
+        cv2.grabCut(
+            img_bgr, mask2, None, bgd, fgd, 5, cv2.GC_INIT_WITH_MASK
+        )
+        out2 = np.where(
+            (mask2 == cv2.GC_FGD) | (mask2 == cv2.GC_PR_FGD), 255, 0
+        ).astype(np.uint8)
+        if out2.sum():
+            return _cleanup_mask(out2)
+    except cv2.error:
+        pass  # degenerate trimap (all one class) — keep the pass-1 mask
+    return m1
 
 
 def normalize_image(img_rgb: np.ndarray, mask: np.ndarray, size: int = 128,

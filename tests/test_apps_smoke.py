@@ -274,8 +274,9 @@ def test_preproc_grabcut_on_real_photos(tmp_path, name):
     and compare against its shipped PointRend-produced *_normalize.png
     (reference scripts/preproc.py:240-298): same 128x128 contract, and the
     white-composited foreground must substantially agree (IoU floor; the
-    segmenters differ, so pixel equality is not expected). Measured IoU at
-    authoring time: police 0.76, toyota 0.74."""
+    segmenters differ, so pixel equality is not expected). Measured IoU:
+    police 0.79, toyota 0.73 (two-pass GrabCut + mask cleanup; the single
+    rect pass scored 0.76/0.67)."""
     import imageio.v2 as imageio
 
     from pixelnerf_tpu.apps import preproc
@@ -293,6 +294,6 @@ def test_preproc_grabcut_on_real_photos(tmp_path, name):
     fg_ours = (ours < 250).any(-1)
     fg_ref = (ref < 250).any(-1)
     iou = (fg_ours & fg_ref).sum() / max(1, (fg_ours | fg_ref).sum())
-    assert iou > 0.6, f"foreground IoU {iou:.3f} vs shipped normalize"
+    assert iou > 0.65, f"foreground IoU {iou:.3f} vs shipped normalize"
     # similar object scale in frame (crop radius agreement)
     assert 0.5 < fg_ours.mean() / fg_ref.mean() < 2.0
