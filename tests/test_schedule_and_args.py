@@ -64,3 +64,44 @@ def test_multi_obj_generator(tmp_path):
     assert d["images"].shape == (4, 24, 24, 3)
     assert d["poses"].shape == (4, 4, 4)
     assert np.isfinite(d["images"]).all()
+
+
+def test_genlist_unseen_category_splits(tmp_path):
+    """scripts/genlist.py reconstructs the gen_*.lst files the authors ship
+    with the NMR download (reference README.md:33,149): seen categories
+    (airplane/car/chair) keep their softras train/val splits for training,
+    unseen categories get gen_test.lst from the shipped eval viewlist —
+    and the dvr_gen adapter consumes the result."""
+    data = tmp_path / "NMR_Dataset"
+    for cat, objs in [
+        ("02691156", ["a1", "a2", "a3"]),   # airplane: seen
+        ("02828884", ["b1", "b2"]),         # bench: unseen
+    ]:
+        d = data / cat
+        d.mkdir(parents=True)
+        (d / "softras_train.lst").write_text("\n".join(objs) + "\n")
+        (d / "softras_val.lst").write_text(objs[0] + "\n")
+        (d / "softras_test.lst").write_text("\n".join(objs) + "\n")
+    vl = tmp_path / "src_gen.txt"
+    vl.write_text("02828884 b1 3\n02828884 b2 7\n")
+    script = os.path.join(REPO, "scripts", "genlist.py")
+    subprocess.run(
+        [sys.executable, script, "--data", str(data), "--viewlist", str(vl)],
+        check=True, capture_output=True,
+    )
+    assert (data / "02691156" / "gen_train.lst").read_text().split() == [
+        "a1", "a2", "a3"
+    ]
+    assert (data / "02691156" / "gen_test.lst").read_text() == ""
+    assert (data / "02828884" / "gen_train.lst").read_text() == ""
+    assert (data / "02828884" / "gen_test.lst").read_text().split() == [
+        "b1", "b2"
+    ]
+
+    from pixelnerf_tpu.data.dvr import DVRDataset
+
+    train = DVRDataset(str(data), stage="train", list_prefix="gen_")
+    test = DVRDataset(str(data), stage="test", list_prefix="gen_")
+    assert len(train.all_objs) == 3 and len(test.all_objs) == 2
+    assert all(cat == "02691156" for cat, _ in train.all_objs)
+    assert all(cat == "02828884" for cat, _ in test.all_objs)
