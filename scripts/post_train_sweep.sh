@@ -9,7 +9,7 @@ set -ex
 set -o pipefail
 cd "$(dirname "$0")/.."
 NAME=${1:-r2train}
-OVR="data.num_objects=64"
+OVR=${2:-data.num_objects=64}   # match the trained run, e.g. data.num_objects=2048
 
 # seeded 1-view-per-object quality number (reference eval_approx.py)
 PIXELNERF_NO_TB=1 python -m pixelnerf_tpu.apps.eval_approx -n "$NAME" \
