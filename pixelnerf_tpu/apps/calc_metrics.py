@@ -179,7 +179,8 @@ def run_map_dataset(args, lp):
     from ..utils import metrics
 
     dset = get_split_dataset(
-        args.dataset_format, args.datadir, want_split="test", training=False
+        args.dataset_format, args.datadir, want_split="test", training=False,
+        **getattr(args, "data_kwargs", {}),
     )
     for obj_idx in range(len(dset)):
         data = dset[obj_idx]
@@ -324,7 +325,21 @@ def main(argv=None):
     parser.add_argument("--reduce_only", "-R", action="store_true")
     parser.add_argument("--metadata", type=str, default="metadata.yaml")
     parser.add_argument("--dtu_sort", action="store_true")
+    parser.add_argument(
+        "--override", action="append", default=[], metavar="KEY=VALUE",
+        help="data.* overrides forwarded to the dataset adapter "
+        "(e.g. data.num_objects=2048); other keys are rejected since this "
+        "app has no model/renderer config",
+    )
     args = parser.parse_args(argv)
+    from ..config.hocon import _parse_value
+
+    args.data_kwargs = {}
+    for ov in args.override:
+        key, _, val = ov.partition("=")
+        if not key.startswith("data.") or not _:
+            parser.error(f"--override {ov}: only data.KEY=VALUE is accepted")
+        args.data_kwargs[key[len("data."):]] = _parse_value(val)
     if not args.reduce_only:
         print(">>> Compute")
         run_map(args)

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import ConfigNode
-from ..data import get_split_dataset
+from ..data import dataset_kwargs_from_conf, get_split_dataset
 from ..eval.common import FullRenderer
 from ..models import make_model
 from ..parallel.mesh import make_mesh
@@ -74,7 +74,8 @@ def load_net_and_state(args, conf, sample_batch_fn):
 def main(argv=None):
     args, conf = parse_args(extra_args, argv=argv)
     dset = get_split_dataset(
-        args.dataset_format, args.datadir, want_split=args.split, training=False
+        args.dataset_format, args.datadir, want_split=args.split, training=False,
+        **dataset_kwargs_from_conf(conf),
     )
     cfg = RenderConfig.from_conf(
         conf.get_config("renderer", ConfigNode()),

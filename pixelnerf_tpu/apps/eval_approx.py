@@ -11,7 +11,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import ConfigNode
-from ..data import get_split_dataset
+from ..data import dataset_kwargs_from_conf, get_split_dataset
 from ..eval.common import FullRenderer
 from ..parallel.mesh import make_mesh
 from ..render.renderer import RenderConfig
@@ -34,7 +34,8 @@ def extra_args(parser):
 def main(argv=None):
     args, conf = parse_args(extra_args, argv=argv)
     dset = get_split_dataset(
-        args.dataset_format, args.datadir, want_split=args.split, training=False
+        args.dataset_format, args.datadir, want_split=args.split, training=False,
+        **dataset_kwargs_from_conf(conf),
     )
     cfg = RenderConfig.from_conf(
         conf.get_config("renderer", ConfigNode()),

@@ -55,12 +55,13 @@ def _cleanup_mask(mask):
         mask = np.where(lab == big, 255, 0).astype(np.uint8)
     k = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (7, 7))
     mask = cv2.morphologyEx(mask, cv2.MORPH_CLOSE, k)
-    inv = (mask == 0).astype(np.uint8)
-    ff = inv.copy()
-    h, w = ff.shape
-    border = np.zeros((h + 2, w + 2), np.uint8)
-    cv2.floodFill(ff, border, (0, 0), 0)  # ff keeps only interior holes
-    return np.where((mask > 0) | (ff > 0), 255, 0).astype(np.uint8)
+    # hole fill: flood the background from a guaranteed-background 1px ring
+    # (flooding only from (0,0) breaks when the mask touches that corner)
+    inv = np.pad((mask == 0).astype(np.uint8), 1, constant_values=1)
+    border = np.zeros((inv.shape[0] + 2, inv.shape[1] + 2), np.uint8)
+    cv2.floodFill(inv, border, (0, 0), 0)
+    holes = inv[1:-1, 1:-1]  # 1 only where background is enclosed by mask
+    return np.where((mask > 0) | (holes > 0), 255, 0).astype(np.uint8)
 
 
 def _segment_grabcut(img_bgr, iters: int = 10):
@@ -75,6 +76,9 @@ def _segment_grabcut(img_bgr, iters: int = 10):
     """
     import cv2
 
+    # GrabCut's GMM k-means init draws from cv2's process-global RNG; pin it
+    # so segmentation is deterministic and independent of call order
+    cv2.setRNGSeed(0)
     h, w = img_bgr.shape[:2]
     mask = np.full((h, w), cv2.GC_PR_BGD, np.uint8)
     # central prior: assume the object occupies the middle of the frame

@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data import get_split_dataset
+from ..data import dataset_kwargs_from_conf, get_split_dataset
 from ..utils.recon import marching_cubes, save_obj
 from .args import parse_args
 from .eval import load_net_and_state
@@ -31,7 +31,8 @@ def extra_args(parser):
 def main(argv=None):
     args, conf = parse_args(extra_args, argv=argv)
     dset = get_split_dataset(
-        args.dataset_format, args.datadir, want_split=args.split, training=False
+        args.dataset_format, args.datadir, want_split=args.split, training=False,
+        **dataset_kwargs_from_conf(conf),
     )
     data = dset[args.subset]
     source = np.array([int(x) for x in args.source.split()])

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import ConfigNode
-from ..data import RayBatchPipeline, get_split_dataset
+from ..data import RayBatchPipeline, dataset_kwargs_from_conf, get_split_dataset
 from ..eval.common import FullRenderer, depth_cmap
 from ..models import make_model
 from ..parallel.mesh import make_mesh
@@ -58,11 +58,7 @@ def main(argv=None):
 
     # extra dataset constructor kwargs from the data config subtree
     # (e.g. --override data.num_objects=64 for the synthetic set)
-    dset_kwargs = {
-        k: v
-        for k, v in (conf.get("data") or {}).items()
-        if k not in ("format",)
-    }
+    dset_kwargs = dataset_kwargs_from_conf(conf)
     train_dset = get_split_dataset(
         args.dataset_format, args.datadir, want_split="train", **dset_kwargs
     )

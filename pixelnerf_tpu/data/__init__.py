@@ -13,6 +13,13 @@ from .srn import SRNDataset  # noqa: F401
 from .synthetic import SyntheticSphereDataset  # noqa: F401
 
 
+def dataset_kwargs_from_conf(conf) -> dict:
+    """``data.*`` config keys (minus ``format``) as dataset constructor
+    kwargs, so ``--override data.num_objects=2048`` etc. reaches the dataset
+    from EVERY app, not just training."""
+    return {k: v for k, v in (conf.get("data") or {}).items() if k != "format"}
+
+
 def get_split_dataset(dataset_type, datadir, want_split="all", training=True, **kwargs):
     """Build dataset(s) for the requested split(s).
 

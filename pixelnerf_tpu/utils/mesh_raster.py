@@ -122,7 +122,10 @@ def normalize_mesh(
     mesh is re-oriented into Blender's z-up world); apply that re-orientation
     first: (x, y, z)_obj -> (x, -z, y)_world.
 
-    :return: (normalized verts, (bbox_lo, bbox_hi))
+    :return: (normalized verts, (bbox_lo, bbox_hi), origin) where ``origin``
+        is the world position of the OBJ file's origin after normalization —
+        the analog of Blender's ``obj.location`` after the rest shift (the
+        reference renderer aims its camera at this point, not at the floor).
     """
     v = np.stack([verts[:, 0], -verts[:, 2], verts[:, 1]], axis=-1)
     c, s = np.cos(z_rot), np.sin(z_rot)
@@ -131,9 +134,15 @@ def normalize_mesh(
     lo, hi = v.min(axis=0), v.max(axis=0)
     scale = 2.0 / float((hi - lo).max())
     v = v * scale
-    v[:, 2] -= lo[2] * scale
+    z_shift = -lo[2] * scale
+    v[:, 2] += z_shift
     lo, hi = v.min(axis=0), v.max(axis=0)
-    return v.astype(np.float32), (lo.astype(np.float32), hi.astype(np.float32))
+    origin = np.array([0.0, 0.0, z_shift], np.float32)
+    return (
+        v.astype(np.float32),
+        (lo.astype(np.float32), hi.astype(np.float32)),
+        origin,
+    )
 
 
 # --------------------------------------------------------------------------

@@ -26,7 +26,6 @@ from __future__ import annotations
 
 import argparse
 import hashlib
-import io
 import json
 import os
 import re
@@ -44,34 +43,41 @@ EXPECTED = ["sn64", "sn64_unseen", "srn_chair", "srn_car", "dtu"]
 _UA = {"User-Agent": "Mozilla/5.0 (pixelnerf-tpu fetch_pretrained)"}
 
 
-def _drive_download(file_id: str, timeout: float = 120.0) -> bytes:
-    """Download a (possibly large) Google Drive file via the usercontent
-    endpoint, handling the can't-scan-for-viruses confirm interstitial."""
+def _drive_download(file_id: str, dest_path: str, timeout: float = 120.0):
+    """Stream a (possibly large) Google Drive file to ``dest_path`` via the
+    usercontent endpoint, handling the can't-scan-for-viruses confirm
+    interstitial. Streaming (shutil.copyfileobj) keeps memory flat for the
+    multi-GB weights bundle."""
+    import shutil
+
     url = (
         "https://drive.usercontent.google.com/download?"
         + urllib.parse.urlencode({"id": file_id, "export": "download",
                                   "confirm": "t"})
     )
-    req = urllib.request.Request(url, headers=_UA)
-    with urllib.request.urlopen(req, timeout=timeout) as resp:
-        data = resp.read()
-        ctype = resp.headers.get("Content-Type", "")
-    if b"PK\x03\x04" == data[:4]:
-        return data
-    if "text/html" in ctype:
-        # interstitial form: re-submit with the embedded hidden fields
-        html = data.decode("utf-8", "replace")
-        fields = dict(
-            re.findall(r'name="([^"]+)"\s+value="([^"]*)"', html)
-        )
-        action = re.search(r'action="([^"]+)"', html)
-        if action and fields:
-            url2 = action.group(1) + "?" + urllib.parse.urlencode(fields)
-            req2 = urllib.request.Request(url2, headers=_UA)
-            with urllib.request.urlopen(req2, timeout=timeout) as resp2:
-                data = resp2.read()
-            if data[:4] == b"PK\x03\x04":
-                return data
+
+    def fetch(u):
+        req = urllib.request.Request(u, headers=_UA)
+        resp = urllib.request.urlopen(req, timeout=timeout)
+        head = resp.read(4)
+        if head == b"PK\x03\x04":
+            with open(dest_path, "wb") as f:
+                f.write(head)
+                shutil.copyfileobj(resp, f, 1 << 20)
+            return None
+        return head + resp.read()  # small HTML interstitial / error body
+
+    data = fetch(url)
+    if data is None:
+        return
+    # interstitial form: re-submit with the embedded hidden fields
+    html = data.decode("utf-8", "replace")
+    fields = dict(re.findall(r'name="([^"]+)"\s+value="([^"]*)"', html))
+    action = re.search(r'action="([^"]+)"', html)
+    if action and fields:
+        data = fetch(action.group(1) + "?" + urllib.parse.urlencode(fields))
+        if data is None:
+            return
     raise RuntimeError(
         "Google Drive did not return a zip (got %r...). The file may require "
         "interactive consent; download manually from "
@@ -100,14 +106,21 @@ def main(argv=None) -> int:
     )
     args = ap.parse_args(argv)
 
+    import shutil
+    import tempfile
+
+    tmp_zip = None
     if args.zip:
-        with open(args.zip, "rb") as f:
-            blob = f.read()
+        zip_path = args.zip
     else:
         print(f"downloading Drive file {args.file_id} ...", flush=True)
+        tmp_zip = tempfile.NamedTemporaryFile(suffix=".zip", delete=False)
+        tmp_zip.close()
+        zip_path = tmp_zip.name
         try:
-            blob = _drive_download(args.file_id)
+            _drive_download(args.file_id, zip_path)
         except Exception as e:  # zero-egress environments land here
+            os.unlink(zip_path)
             print(
                 f"FETCH FAILED: {e}\n"
                 "If this environment has no network access, download the "
@@ -115,11 +128,13 @@ def main(argv=None) -> int:
                 file=sys.stderr,
             )
             return 2
-        print(f"downloaded {len(blob) / 1e6:.1f} MB", flush=True)
+        print(f"downloaded {os.path.getsize(zip_path) / 1e6:.1f} MB",
+              flush=True)
 
-    os.makedirs(args.out, exist_ok=True)
+    out_root = os.path.realpath(args.out)
+    os.makedirs(out_root, exist_ok=True)
     manifest = {}
-    with zipfile.ZipFile(io.BytesIO(blob)) as zf:
+    with zipfile.ZipFile(zip_path) as zf:
         for info in zf.infolist():
             if info.is_dir():
                 continue
@@ -129,12 +144,19 @@ def main(argv=None) -> int:
                 rel = rel[len("checkpoints/"):]
             if not rel:
                 continue
-            dest = os.path.join(args.out, rel)
+            dest = os.path.realpath(os.path.join(out_root, rel))
+            # zip-slip guard: refuse entries escaping the output directory
+            if not dest.startswith(out_root + os.sep):
+                print(f"  SKIPPING unsafe zip entry {info.filename!r}",
+                      file=sys.stderr)
+                continue
             os.makedirs(os.path.dirname(dest), exist_ok=True)
             with zf.open(info) as src, open(dest, "wb") as dst:
-                dst.write(src.read())
+                shutil.copyfileobj(src, dst, 1 << 20)
             manifest[rel] = _sha256(dest)
             print(f"  {rel}  sha256={manifest[rel][:16]}…")
+    if tmp_zip is not None:
+        os.unlink(zip_path)
 
     with open(os.path.join(args.out, "MANIFEST.json"), "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)

@@ -62,9 +62,24 @@ def main(argv=None):
 
     from pixelnerf_tpu.apps.eval_approx import main as eval_approx_main
 
-    snaps.sort(key=lambda s: (s[0] is None, s[0]))
-    curve = []
+    # label the live checkpoint by the step stored in its TrainState
+    resolved = []
     for step, path in snaps:
+        if step is None:
+            try:
+                from flax import serialization
+
+                with open(path, "rb") as f:
+                    step = int(
+                        serialization.msgpack_restore(f.read())["step"]
+                    )
+            except Exception:
+                pass  # unreadable/legacy state: keep the null label
+        resolved.append((step, path))
+    resolved.sort(key=lambda s: (s[0] is None, s[0]))
+
+    curve = []
+    for step, path in resolved:
         if want is not None and (step is None or step not in want):
             continue
         with tempfile.TemporaryDirectory() as tmp:
@@ -72,21 +87,17 @@ def main(argv=None):
             shutil.copy(path, os.path.join(tmp, args.name, "train_state.msgpack"))
             buf = io.StringIO()
             with redirect_stdout(buf):
-                eval_approx_main(
+                res = eval_approx_main(
                     ["-n", args.name, "--checkpoints_path", tmp] + passthrough
                 )
-        out = buf.getvalue()
-        mm = re.search(
-            r"APPROX FINAL psnr ([0-9.]+) ssim ([0-9.]+)", out
-        )
         point = {
             "step": step,
             "file": os.path.basename(path),
-            "psnr": float(mm.group(1)) if mm else None,
-            "ssim": float(mm.group(2)) if mm else None,
+            "psnr": round(float(res[0]), 4) if res else None,
+            "ssim": round(float(res[1]), 4) if res else None,
         }
-        if mm is None:
-            point["raw_tail"] = out.strip().splitlines()[-3:]
+        if res is None:
+            point["raw_tail"] = buf.getvalue().strip().splitlines()[-3:]
         curve.append(point)
         print(json.dumps(point), flush=True)
     return curve

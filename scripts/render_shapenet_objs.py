@@ -8,7 +8,7 @@ Two backends, same on-disk contract:
 * ``--backend software`` — the built-in numpy z-buffer rasterizer
   (``pixelnerf_tpu.utils.mesh_raster``): flat-Lambertian + .mtl diffuse
   colors, no external dependency, runs and is tested in-env
-  (tests/test_trajectories.py). Use it to build real-geometry datasets
+  (tests/test_mesh_raster.py). Use it to build real-geometry datasets
   where Blender is unavailable.
 
 The contract matches `scripts/make_multi_obj_dataset.py` (which generates
@@ -339,15 +339,18 @@ def software_main(args):
         for p in picks:
             verts, faces, colors = load_obj(os.path.join(p, args.model_path))
             z_rot = rng.uniform(0.0, 2.0 * np.pi)
-            verts, (lo, hi) = normalize_mesh(verts, z_rot)
+            verts, (lo, hi), origin = normalize_mesh(verts, z_rot)
             meshes.append({"verts": verts, "faces": faces, "colors": colors,
-                           "lo": lo, "hi": hi})
+                           "lo": lo, "hi": hi, "origin": origin})
 
         # placement: 1 object centered at the origin; 2 objects shifted into
-        # opposite quadrants by their own bbox minima (reference :287-325)
+        # opposite quadrants by their own bbox minima. The camera aims at the
+        # mean of the objects' ORIGINS (incl. the z rest shift ~ mid-height),
+        # matching the bpy path's lookat = mean(obj.location)
+        # (reference :287-325)
         locations = []
         if len(meshes) == 1:
-            locations.append(np.zeros(3, np.float32))
+            locations.append(meshes[0]["origin"])
             cam_dist = 4.0
         else:
             sign = -1.0
@@ -356,7 +359,7 @@ def software_main(args):
                     [sign * m["lo"][0], sign * m["lo"][1], 0.0], np.float32
                 )
                 m["verts"] = m["verts"] + shift
-                locations.append(shift)
+                locations.append(m["origin"] + shift)
                 sign *= -1.0
             cam_dist = 6.0
         lookat = np.mean(np.stack(locations), axis=0)
@@ -408,7 +411,10 @@ def software_main(args):
             frames.append(
                 {
                     "transform_matrix": pose.tolist(),
-                    "file_path": os.path.join(scene_dir, stem),
+                    # relative per the transforms.json convention (the bpy
+                    # path's absolute stem only loads because the adapter
+                    # takes the basename) — keeps datasets relocatable
+                    "file_path": f"./{stem}",
                 }
             )
         with open(os.path.join(scene_dir, "transforms.json"), "w") as f:

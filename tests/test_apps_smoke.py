@@ -297,3 +297,36 @@ def test_preproc_grabcut_on_real_photos(tmp_path, name):
     assert iou > 0.65, f"foreground IoU {iou:.3f} vs shipped normalize"
     # similar object scale in frame (crop radius agreement)
     assert 0.5 < fg_ours.mean() / fg_ref.mean() < 2.0
+
+
+def test_eval_apps_forward_data_overrides(monkeypatch):
+    """--override data.KEY=V must reach the dataset constructor from eval
+    apps, not only from train (regression: eval_approx/eval/gen_video/recon
+    built datasets with defaults, silently ignoring the advertised knob)."""
+    captured = {}
+
+    def fake_get_split_dataset(fmt, datadir, want_split="all", training=True,
+                               **kwargs):
+        captured.update(kwargs)
+        raise RuntimeError("stop after dataset construction")
+
+    import pixelnerf_tpu.apps.eval_approx as ea
+
+    monkeypatch.setattr(ea, "get_split_dataset", fake_get_split_dataset)
+    with pytest.raises(RuntimeError, match="stop after"):
+        ea.main([
+            "-n", "x", "-c", CONF,
+            "-F", "synthetic", "--override", "data.num_objects=5",
+        ])
+    assert captured.get("num_objects") == 5
+
+    # calc_metrics parses the same overrides through its standalone parser
+    from pixelnerf_tpu.apps import calc_metrics as cm
+
+    seen = {}
+    monkeypatch.setattr(cm, "run_reduce", lambda a: seen.update(a.data_kwargs))
+    cm.main(["-D", ".", "--reduce_only",
+             "--override", "data.num_objects=7"])
+    assert seen == {"num_objects": 7}
+    with pytest.raises(SystemExit):  # non-data.* keys are rejected
+        cm.main(["-D", ".", "--reduce_only", "--override", "model.x=1"])

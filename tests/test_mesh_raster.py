@@ -166,11 +166,15 @@ def test_obj_loader_polygons_negative_indices_mtl(tmp_path):
 def test_normalize_mesh_contract():
     rng = np.random.default_rng(0)
     verts = rng.uniform(-3, 5, size=(50, 3)).astype(np.float32)
-    out, (lo, hi) = normalize_mesh(verts, z_rot=1.1)
+    out, (lo, hi), origin = normalize_mesh(verts, z_rot=1.1)
     assert abs((hi - lo).max() - 2.0) < 1e-5  # diameter 2
     assert abs(lo[2]) < 1e-5  # resting on z=0
     np.testing.assert_allclose(out.min(axis=0), lo, atol=1e-5)
     np.testing.assert_allclose(out.max(axis=0), hi, atol=1e-5)
+    # origin = the OBJ origin's world position (Blender obj.location analog):
+    # x/y untouched, z lifted by the rest shift, which must sit inside [lo, hi]
+    assert origin[0] == origin[1] == 0.0
+    assert lo[2] <= origin[2] <= hi[2]
 
 
 def _write_cube_model(model_dir, color):
@@ -237,11 +241,14 @@ def test_software_backend_end_to_end(tmp_path):
         rot @ rot.transpose(0, 2, 1), np.broadcast_to(np.eye(3), rot.shape),
         atol=1e-5,
     )
-    # camera orbits at distance 6 from the lookat; objects near the lookat,
-    # so each view must show something and masks must be nonempty
+    # every view must show something
     assert np.asarray(item["masks"]).any(axis=(1, 2, 3)).all()
-    # every camera is ~6 units from the scene lookat (2-object distance)
-    lookat_dist = np.linalg.norm(
-        poses[:, :3, 3] - poses[:, :3, 3].mean(0), axis=-1
+    # tracked orbit: every camera's implied target (pos - dist * back, with
+    # the 2-object cam_dist = 6) must be the SAME point, and that lookat
+    # must sit at the objects' origin height (inside the 2-unit-tall scene)
+    back = poses[:, :3, 2]
+    targets = poses[:, :3, 3] - 6.0 * back
+    np.testing.assert_allclose(
+        targets, np.broadcast_to(targets.mean(0), targets.shape), atol=1e-4
     )
-    assert np.all(lookat_dist < 6.5)
+    assert 0.0 < targets.mean(0)[2] < 2.0

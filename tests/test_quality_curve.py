@@ -30,7 +30,7 @@ def test_snapshot_discovery_and_filter(tmp_path, monkeypatch, capsys):
 
     def fake_eval(argv):
         calls.append(argv)
-        print("APPROX FINAL psnr 12.5000 ssim 0.7000")
+        return 12.5, 0.7
 
     import pixelnerf_tpu.apps.eval_approx as ea
 
