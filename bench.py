@@ -153,7 +153,9 @@ def _render_rate(net, cfg, NS, n_rays, n_iters, ray_chunk, staged, fast,
         out = render(variables, enc, rays, jax.random.fold_in(key, i))
     _sync(out[2])
     dt = time.perf_counter() - t0
-    return n_rays * n_iters / dt
+    # rays.shape[1], not n_rays: tiling floors to a multiple of the camera
+    # grid, so an off-multiple BENCH_RAYS renders slightly fewer rays
+    return rays.shape[1] * n_iters / dt
 
 
 def _bench_stages(net, points=393216):
@@ -411,9 +413,12 @@ def main():
         sweep_iters = int(os.environ.get("BENCH_SWEEP_ITERS", 4))
         views = {}
         for ns in (1, 2, 3):
-            if ns == NS:
+            if ns == NS and not (baked or fused_gather):
                 r = rays_per_sec
             else:
+                # always re-measure on the default path when the headline
+                # ran baked/fused: the sweep's entries must all compare the
+                # SAME code path (and its MFU uses unbaked FLOPs)
                 r = _render_rate(
                     net, cfg, ns, sweep_rays, sweep_iters, ray_chunk,
                     staged, fast,

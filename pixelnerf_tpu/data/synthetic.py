@@ -171,7 +171,13 @@ class SyntheticSphereDataset(DatasetBase):
             "bbox": np.stack(bboxes),
             "poses": poses.astype(np.float32),
         }
-        if len(self._cache) >= self._cache_cap:
-            self._cache.pop(next(iter(self._cache)))
+        # thread-safe FIFO eviction: the ray pipeline fetches objects from a
+        # thread pool, so two threads can race to evict the same oldest key —
+        # pop defensively instead of crashing the epoch on a KeyError
+        while len(self._cache) >= self._cache_cap:
+            try:
+                self._cache.pop(next(iter(self._cache)), None)
+            except (StopIteration, RuntimeError):
+                break
         self._cache[index] = data
         return data

@@ -36,10 +36,15 @@ class FullRenderer:
         self.scan_chunk = int(scan_chunk)
         # host chunks are scanned on-device in scan_chunk microbatches
         # (memory-bounded, and the per-microbatch working set tunes XLA's
-        # fusion efficiency) — round the host chunk to a scan multiple
-        self.ray_chunk = max(
-            self.scan_chunk, int(ray_chunk) // self.scan_chunk * self.scan_chunk
-        )
+        # fusion efficiency) — round the host chunk to a scan multiple.
+        # A request SMALLER than scan_chunk shrinks the scan chunk instead
+        # of being silently raised: --ray_batch_size is a memory bound and
+        # must be honored downward
+        if int(ray_chunk) < self.scan_chunk:
+            self.scan_chunk = max(1, int(ray_chunk))
+            self.ray_chunk = self.scan_chunk
+        else:
+            self.ray_chunk = int(ray_chunk) // self.scan_chunk * self.scan_chunk
         self.want_weights = want_weights
 
         def _render(variables, enc, rays, rng):

@@ -69,11 +69,14 @@ def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-# batch entries whose SECOND axis is the ray axis (sharded over 'ray');
+# the train batch schema — the SINGLE source of truth shared by
+# shard_batch and make_train_step's in_shardings. RAY_AXIS_KEYS are the
+# entries whose SECOND axis is the ray axis (sharded over 'ray');
 # everything else is per-object only. Keyed explicitly: a pure
 # shape-divisibility heuristic mis-shards e.g. c (SB, 2) on a ray=2 mesh or
 # images (SB, NS, ...) when NS divides the ray axis, conflicting with the
 # train step's declared in_shardings.
+BATCH_KEYS = ("images", "poses", "focal", "c", "rays", "rgb_gt")
 RAY_AXIS_KEYS = ("rays", "rgb_gt")
 
 

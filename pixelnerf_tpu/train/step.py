@@ -99,6 +99,12 @@ def make_train_step(
         rng = jnp.asarray(rng)
         if rng.ndim == 0:
             rng = jax.random.PRNGKey(rng)
+        elif rng.dtype == jnp.int32 and rng.shape == (2,):
+            # (trainer_seed, step_counter) pair: one host upload, and the
+            # stream is fold_in(PRNGKey(seed), counter) — distinct trainer
+            # seeds can never share a step-key sequence (an int32 counter
+            # alone would alias seeds through partition arithmetic)
+            rng = jax.random.fold_in(jax.random.PRNGKey(rng[0]), rng[1])
         (_, (new_stats, metrics)), grads = jax.value_and_grad(
             loss_and_updates, has_aux=True
         )(state.params, state.batch_stats, batch, rng)
@@ -119,14 +125,17 @@ def make_train_step(
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,))
 
+    from ..parallel.mesh import BATCH_KEYS, DATA_AXIS, RAY_AXIS, RAY_AXIS_KEYS
+
     rep = NamedSharding(mesh, P())
+    # one schema, declared in parallel/mesh.py, shared with shard_batch —
+    # drifting copies would mis-shard new batch entries at runtime
     batch_shardings = {
-        "images": NamedSharding(mesh, P("data")),
-        "poses": NamedSharding(mesh, P("data")),
-        "focal": NamedSharding(mesh, P("data")),
-        "c": NamedSharding(mesh, P("data")),
-        "rays": NamedSharding(mesh, P("data", "ray")),
-        "rgb_gt": NamedSharding(mesh, P("data", "ray")),
+        k: NamedSharding(
+            mesh,
+            P(DATA_AXIS, RAY_AXIS) if k in RAY_AXIS_KEYS else P(DATA_AXIS),
+        )
+        for k in BATCH_KEYS
     }
     return jax.jit(
         step,

@@ -124,8 +124,9 @@ class Trainer:
         self.train_pipeline = train_pipeline
         self.test_pipeline = test_pipeline
         self.rng = jax.random.PRNGKey(seed)
-        # int32 space partitioned by trainer seed (hot-loop step seeds)
-        self._seed_counter = (seed % 2048) * 1_000_000
+        # hot-loop step seeds: (seed, counter) int32 pairs, one upload each
+        self._base_seed = int(seed) & 0x7FFFFFFF
+        self._seed_counter = 0
 
         self.writer = None
         if os.environ.get("PIXELNERF_NO_TB") != "1":
@@ -165,12 +166,14 @@ class Trainer:
         return key
 
     def _next_seed(self):
-        """Host-side RNG seed for the hot train-step path: a plain int32
-        (the step derives the key on-device). ``_next_key``'s device-side
-        split is a separate dispatch per call — through a remoted TPU
-        runtime that round trip costs a large fraction of a train step."""
+        """Host-side RNG seed for the hot train-step path: an int32
+        (trainer_seed, counter) pair; the step derives
+        ``fold_in(PRNGKey(seed), counter)`` on-device. ``_next_key``'s
+        device-side split is a separate dispatch per call — through a
+        remoted TPU runtime that round trip costs a large fraction of a
+        train step."""
         self._seed_counter += 1
-        return np.int32(self._seed_counter)
+        return np.array([self._base_seed, self._seed_counter], np.int32)
 
     def _log(self, tag, scalars, step):
         if self.writer is not None:

@@ -79,7 +79,7 @@ def main():
         traj = []
         for i in range(n_steps):
             state, metrics = step(state, get_batch(i), np.int32(i))
-            if i == 0 or (i + 1) % (n_steps // 5) == 0:
+            if i == 0 or (i + 1) % max(1, n_steps // 5) == 0:
                 traj.append(
                     (float(metrics["t"]), float(metrics["gnorm"]))
                 )
