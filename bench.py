@@ -352,8 +352,43 @@ def _bench_train(root):
             "loop_over_compiled": loop_ratio}
 
 
+def _preflight_device(timeout_s: int = 180):
+    """Fail fast with a diagnosable message when the TPU tunnel is wedged.
+
+    A wedged axon relay blocks the first device op FOREVER (observed: a
+    lost client's grant wedges the pool and every new client sleeps in a
+    claim-retry loop). Probe device availability in a SUBPROCESS with a
+    bounded wait — a hung probe child is killed without poisoning this
+    process — so the bench emits a clear one-line error instead of hanging
+    the driver."""
+    import subprocess
+    import sys
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp;"
+             "print(float(jnp.ones((2,2)).sum()))"],
+            capture_output=True, timeout=timeout_s, text=True,
+        )
+        if proc.returncode == 0 and "4.0" in proc.stdout:
+            return
+        detail = (proc.stderr or proc.stdout).strip()[-200:]
+    except subprocess.TimeoutExpired:
+        detail = f"device probe hung >{timeout_s}s (wedged tunnel?)"
+    print(json.dumps({
+        "metric": "render_rays_per_sec_per_chip", "value": 0.0,
+        "unit": "rays/s", "vs_baseline": 0.0,
+        "error": f"accelerator unavailable: {detail}",
+    }))
+    raise SystemExit(3)
+
+
 def main():
     import jax  # noqa: F401
+
+    if os.environ.get("BENCH_SKIP_PREFLIGHT", "0") != "1":
+        _preflight_device()
 
     from pixelnerf_tpu.config import load_config
     from pixelnerf_tpu.models import make_model
