@@ -43,6 +43,19 @@ def extra_args(parser):
                         "hierarchy (reference eval.py:139-148)")
     parser.add_argument("--limit", type=int, default=None,
                         help="evaluate at most N objects (smoke runs)")
+    parser.add_argument("--eval_view_list", type=str, default=None,
+                        help="file whose first line lists the target view "
+                        "ids to evaluate (reference eval.py:45,169-176)")
+    parser.add_argument("--no_compare_gt", action="store_true",
+                        help="skip GT comparison (no metrics), only render")
+    parser.add_argument("--scale", type=float, default=1.0,
+                        help="render scale relative to input size "
+                        "(reference eval.py:77)")
+    parser.add_argument("--free_pose", action="store_true",
+                        help="accepted for reference-CLI compatibility; "
+                        "this implementation regenerates rays per object "
+                        "unconditionally, so varying poses are always "
+                        "handled (reference eval.py:84-86,218)")
     parser.add_argument("--no_mesh", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
 
@@ -138,6 +151,13 @@ def main(argv=None):
 
     import imageio.v2 as imageio
 
+    # optional target-view subset (reference eval.py:169-176: first line of
+    # the file lists the view ids to evaluate)
+    eval_views = None
+    if args.eval_view_list:
+        with open(args.eval_view_list, "r") as f:
+            eval_views = {int(x) for x in f.readline().split()}
+
     rng = jax.random.PRNGKey(args.seed)
     n_objs = len(dset) if args.limit is None else min(args.limit, len(dset))
     for obj_idx in range(n_objs):
@@ -164,7 +184,17 @@ def main(argv=None):
             if args.include_src
             else np.array([v for v in range(NV) if v not in set(src.tolist())])
         )
+        if eval_views is not None:
+            target_views = np.array(
+                [v for v in target_views if v in eval_views]
+            )
+            if target_views.size == 0:
+                print(f"skip {obj_name}: no target views in eval_view_list")
+                continue
 
+        # render size: --scale relative to input (reference eval.py:207-213,
+        # 252-255 — focal and principal point scale with the image)
+        rH, rW = int(round(H * args.scale)), int(round(W * args.scale))
         c_arr = data.get("c", np.array([W / 2.0, H / 2.0], np.float32))
         enc = net.apply(
             variables,
@@ -176,16 +206,17 @@ def main(argv=None):
         )
         all_rays = np.asarray(
             geometry.gen_rays(
-                jnp.asarray(data["poses"][target_views]), W, H,
-                jnp.asarray(data["focal"]), dset.z_near, dset.z_far,
-                c=jnp.asarray(c_arr),
+                jnp.asarray(data["poses"][target_views]), rW, rH,
+                jnp.asarray(data["focal"] * args.scale),
+                dset.z_near, dset.z_far,
+                c=jnp.asarray(c_arr * args.scale),
             )
         ).reshape(-1, 8)
         rng, kk = jax.random.split(rng)
         out = renderer(variables, enc, all_rays, kk)
         branch = out["fine"] if cfg.using_fine else out["coarse"]
-        rgb_all = branch["rgb"].reshape(len(target_views), H, W, 3)
-        depth_all = branch["depth"].reshape(len(target_views), H, W)
+        rgb_all = branch["rgb"].reshape(len(target_views), rH, rW, 3)
+        depth_all = branch["depth"].reshape(len(target_views), rH, rW)
 
         obj_dir = os.path.join(args.output, obj_name)
         os.makedirs(obj_dir, exist_ok=True)
@@ -193,10 +224,18 @@ def main(argv=None):
         for ti, view in enumerate(target_views):
             pred = np.clip(rgb_all[ti], 0, 1)
             gt = data["images"][view] * 0.5 + 0.5
-            p = metrics.psnr(pred, gt)
-            s = metrics.ssim(pred, gt, data_range=1.0)
-            obj_psnr += p
-            obj_ssim += s
+            if args.scale != 1.0:
+                import cv2
+
+                gt = np.clip(
+                    cv2.resize(gt, (rW, rH), interpolation=cv2.INTER_AREA),
+                    0.0, 1.0,
+                )
+            if not args.no_compare_gt:
+                p = metrics.psnr(pred, gt)
+                s = metrics.ssim(pred, gt, data_range=1.0)
+                obj_psnr += p
+                obj_ssim += s
             imageio.imwrite(
                 os.path.join(obj_dir, f"{view:06d}.png"),
                 (pred * 255).astype(np.uint8),

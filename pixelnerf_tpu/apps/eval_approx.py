@@ -28,6 +28,10 @@ def extra_args(parser):
     parser.add_argument("--batch_size", "-B", type=int, default=4,
                         help="objects rendered per device batch "
                         "(the reference evaluates SB=4 objects at once)")
+    parser.add_argument("--coarse", action="store_true",
+                        help="coarse network as fine: drop the fine MLP, "
+                        "keep a 64/128 hierarchy (reference "
+                        "eval_approx.py:51,76-82)")
     parser.add_argument("--no_mesh", action="store_true")
 
 
@@ -42,6 +46,13 @@ def main(argv=None):
         lindisp=getattr(dset, "lindisp", False),
         eval_batch_size=args.ray_batch_size,
     )
+    import dataclasses
+
+    if cfg.n_coarse < 64:
+        cfg = dataclasses.replace(cfg, n_coarse=64)
+    if args.coarse:
+        # reference eval_approx.py:76-82: fine MLP dropped, 64/128 hierarchy
+        cfg = dataclasses.replace(cfg, n_coarse=64, n_fine=128)
     source = np.array([int(x) for x in args.source.split()])
     d0 = dset[0]
     H, W = d0["images"].shape[1:3]
@@ -55,6 +66,8 @@ def main(argv=None):
         )
 
     net, variables = load_net_and_state(args, conf, init_fn)
+    if args.coarse:
+        net = net.clone(mlp_fine=None)  # fine pass reuses the coarse MLP
     mesh = None
     if not args.no_mesh and jax.device_count() > 1:
         mesh = make_mesh()

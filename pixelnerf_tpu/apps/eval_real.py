@@ -37,6 +37,16 @@ def extra_args(parser):
     parser.add_argument("--elevation", type=float, default=0.0)
     parser.add_argument("--num_views", type=int, default=24)
     parser.add_argument("--fps", type=int, default=15)
+    parser.add_argument(
+        "--out_size", type=str, default=None,
+        help="render size, 1 or 2 numbers 'W' or 'W H' (default: --size). "
+        "Reference quirk preserved: focal is NOT rescaled, so larger "
+        "out_size widens the field of view (eval_real.py:88-93,110)",
+    )
+    parser.add_argument("--gif", action="store_true",
+                        help="store gif instead of mp4")
+    parser.add_argument("--no_vid", action="store_true",
+                        help="skip the video; only frame PNGs are written")
     parser.add_argument("--no_mesh", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
 
@@ -58,6 +68,12 @@ def main(argv=None):
         eval_batch_size=args.ray_batch_size,
     )
     H = W = args.size
+    # render resolution (reference eval_real.py:88-93); encode stays at --size
+    if args.out_size:
+        sz = [int(x) for x in args.out_size.split()]
+        out_w, out_h = (sz[0], sz[0]) if len(sz) == 1 else (sz[0], sz[1])
+    else:
+        out_w, out_h = W, H
     # dummy camera: identity rotation at z = radius (reference eval_real.py:127-129)
     cam_pose = np.eye(4, dtype=np.float32)
     cam_pose[2, 3] = args.radius
@@ -104,8 +120,8 @@ def main(argv=None):
         )
         rays = np.asarray(
             geometry.gen_rays(
-                jnp.asarray(render_poses), W, H, jnp.asarray(args.focal),
-                args.z_near, args.z_far,
+                jnp.asarray(render_poses), out_w, out_h,
+                jnp.asarray(args.focal), args.z_near, args.z_far,
             )
         )
         frames = []
@@ -114,15 +130,28 @@ def main(argv=None):
             rgb, _ = renderer.render_image(variables, enc, rays[i], key)
             frames.append((np.clip(rgb, 0, 1) * 255).astype(np.uint8))
         base = os.path.splitext(os.path.basename(img_path))[0]
-        try:
-            imageio.mimwrite(
-                os.path.join(args.output, f"{base}.mp4"), frames, fps=args.fps
-            )
-        except Exception:
-            imageio.mimwrite(
-                os.path.join(args.output, f"{base}.gif"), frames,
-                duration=1000 / args.fps,
-            )
+        # frame PNGs always (reference eval_real.py:155-161)
+        frames_dir = os.path.join(args.output, f"{base}_frames")
+        os.makedirs(frames_dir, exist_ok=True)
+        for i, frm in enumerate(frames):
+            imageio.imwrite(os.path.join(frames_dir, f"{i:04}.png"), frm)
+        if not args.no_vid:
+            if args.gif:
+                imageio.mimwrite(
+                    os.path.join(args.output, f"{base}.gif"), frames,
+                    duration=1000 / args.fps,
+                )
+            else:
+                try:
+                    imageio.mimwrite(
+                        os.path.join(args.output, f"{base}.mp4"), frames,
+                        fps=args.fps,
+                    )
+                except Exception:
+                    imageio.mimwrite(
+                        os.path.join(args.output, f"{base}.gif"), frames,
+                        duration=1000 / args.fps,
+                    )
         print("Rendered", base)
 
 

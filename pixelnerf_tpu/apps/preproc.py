@@ -161,6 +161,19 @@ def main(argv=None):
     parser.add_argument("--coco_class", type=int, default=2, help="car")
     parser.add_argument("--backend", type=str, default="auto",
                         choices=["auto", "pointrend", "grabcut"])
+    parser.add_argument("--scale", "-S", type=float, default=4.37,
+                        help="bbox scaling rel the fitted ellipse's minor "
+                        "axis (reference preproc.py:192-198)")
+    parser.add_argument("--major_scale", "-M", type=float, default=0.8,
+                        help="bbox scaling rel the fitted ellipse's major "
+                        "axis; the larger radius wins "
+                        "(reference preproc.py:199-206)")
+    parser.add_argument("--const_border", action="store_true",
+                        help="accepted for reference-CLI compatibility; "
+                        "the normalize output is identical either way "
+                        "(the mask pads to 0, so padded pixels composite "
+                        "to white regardless of the image border mode — "
+                        "reference preproc.py:272-277)")
     args = parser.parse_args(argv)
 
     if os.path.isdir(args.input):
@@ -194,7 +207,10 @@ def main(argv=None):
         if mask is None:
             print(f"SKIP {path}: no object found")
             continue
-        out = normalize_image(img, mask, size=args.size)
+        out = normalize_image(
+            img, mask, size=args.size,
+            scale_major=args.major_scale, scale_minor=args.scale,
+        )
         if out is None:
             print(f"SKIP {path}: degenerate mask")
             continue

@@ -330,3 +330,52 @@ def test_eval_apps_forward_data_overrides(monkeypatch):
     assert seen == {"num_objects": 7}
     with pytest.raises(SystemExit):  # non-data.* keys are rejected
         cm.main(["-D", ".", "--reduce_only", "--override", "model.x=1"])
+
+
+def test_eval_flags_parity(workdir):
+    """Round-3 flag-parity audit additions: --eval_view_list /
+    --no_compare_gt / --scale on eval (reference eval.py:45,49,77,84),
+    --coarse on eval_approx (eval_approx.py:51,76-82), --out_size /
+    --gif / --no_vid on eval_real (eval_real.py:38-69)."""
+    import imageio.v2 as imageio
+    from pixelnerf_tpu.apps import eval as eval_app
+    from pixelnerf_tpu.apps import eval_approx, eval_real
+
+    vl = os.path.join(workdir, "eval_views.txt")
+    with open(vl, "w") as f:
+        f.write("1 2\n")
+    eval_app.main(
+        ["-n", "smoke", "-c", CONF, "-F", "synthetic", "-P", "0",
+         "-R", "1024", "--limit", "1", "-O", "eval_flags", "--no_mesh",
+         "--eval_view_list", vl, "--no_compare_gt", "--scale", "0.5"] + TINY
+    )
+    obj_dirs = [d for d in os.listdir(os.path.join(workdir, "eval_flags"))
+                if os.path.isdir(os.path.join(workdir, "eval_flags", d))]
+    pngs = sorted(os.listdir(os.path.join(workdir, "eval_flags", obj_dirs[0])))
+    # only the eval_view_list views rendered, at half resolution
+    assert [p[:6] for p in pngs if p.endswith(".png")] == ["000001", "000002"]
+    im = imageio.imread(
+        os.path.join(workdir, "eval_flags", obj_dirs[0], pngs[0]))
+    assert im.shape[:2] == (32, 32)  # 64^2 dataset rendered at --scale 0.5
+
+    result = eval_approx.main(
+        ["-n", "smoke", "-c", CONF, "-F", "synthetic", "-P", "0",
+         "-R", "1024", "--limit", "1", "--batch_size", "1", "--coarse",
+         "--no_mesh"] + TINY
+    )
+    assert result is not None and np.isfinite(result[0])
+
+    out_dir = os.path.join(workdir, "real_flags")
+    eval_real.main(
+        ["-n", "smoke", "-c", CONF, "--input", os.path.join(workdir, "input"),
+         "-O", out_dir, "--size", "32", "--out_size", "24 16",
+         "--num_views", "2", "-R", "1024", "--gif", "--no_mesh"] + TINY
+    )
+    outs = os.listdir(out_dir)
+    assert any(f.endswith(".gif") for f in outs)
+    frames = os.listdir(os.path.join(
+        out_dir, [f for f in outs if f.endswith("_frames")][0]))
+    assert len(frames) == 2
+    frm = imageio.imread(os.path.join(
+        out_dir, [f for f in outs if f.endswith("_frames")][0], frames[0]))
+    assert frm.shape[:2] == (16, 24)  # H=16, W=24 from --out_size "24 16"
