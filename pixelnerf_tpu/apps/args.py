@@ -49,6 +49,10 @@ def parse_args(
                         help="dump a TensorBoard-viewable XLA trace here")
     parser.add_argument("--debug_nans", action="store_true",
                         help="enable jax NaN checking (aborts on first NaN)")
+    parser.add_argument("--cpu", action="store_true",
+                        help="run on the host CPU backend (e.g. when the "
+                        "accelerator is unavailable); must be the first "
+                        "JAX-touching decision in the process")
     parser.add_argument(
         "--override", action="append", default=[], metavar="KEY=VALUE",
         help="config override, e.g. --override model.mlp_coarse.d_hidden=64",
@@ -94,6 +98,14 @@ def parse_args(
 
     if args.dataset_format is None:
         args.dataset_format = conf.get_string("data.format", "dvr")
+
+    if args.cpu:
+        import jax
+
+        # The axon TPU plugin ignores JAX_PLATFORMS; pin via config. Safe
+        # as long as no computation ran yet (parse_args is each app's
+        # first act).
+        jax.config.update("jax_platforms", "cpu")
 
     if args.debug_nans:
         import jax

@@ -91,7 +91,35 @@ E2E_CASES = {
     # the eval --coarse 64/128 conversion: fine MLP dropped, hierarchical
     # sampling kept, both passes through the coarse MLP (eval.py:139-148)
     "coarse_conversion": {"coarse_conv": True},
+    # SPADE-style latent modulation x = scale_z(z)*x + lin_z(z) in every
+    # pre-combine block (reference resnetfc.py:119-126,174-180)
+    "spade": {"model_over": {"mlp_coarse": {"use_spade": True},
+                             "mlp_fine": {"use_spade": True}}},
+    # global ImageEncoder latent prepended to every MLP input
+    # (reference models.py:62-65,229-235, encoder.py:180-241)
+    "global_encoder": {
+        "model_over": {
+            "use_global_encoder": True,
+            "global_encoder": {"backbone": "resnet34", "pretrained": False,
+                               "latent_size": 128},
+        }
+    },
 }
+
+
+def _apply_over(node, over):
+    """Deep-merge a plain-dict override into a ConfigNode tree."""
+    from pixelnerf_tpu.config import ConfigNode
+
+    for k, v in over.items():
+        if isinstance(v, dict):
+            child = node.get(k)
+            if not isinstance(child, dict):
+                child = ConfigNode()
+                dict.__setitem__(node, k, child)
+            _apply_over(child, v)
+        else:
+            dict.__setitem__(node, k, v)
 
 
 @pytest.mark.parametrize("case_name", sorted(E2E_CASES))
@@ -116,8 +144,7 @@ def test_reference_end_to_end(ref_modules, monkeypatch, case_name):
 
     conf = load_config(os.path.join(REPO, "conf", "exp", "sn64.conf"))
     conf["model"]["encoder"]["pretrained"] = False  # no downloads; random init
-    for k, v in case.get("model_over", {}).items():
-        conf["model"][k] = v
+    _apply_over(conf["model"], case.get("model_over", {}))
     if case.get("n_fine") is not None:
         conf["renderer"]["n_fine"] = case["n_fine"]
     torch.manual_seed(0)
@@ -252,14 +279,30 @@ def test_reference_end_to_end(ref_modules, monkeypatch, case_name):
         )
         w_ref = np.asarray(out_ref[branch]["weights"])
         w_ours = np.asarray(out[branch]["weights"])
-        # per-element tolerance is slightly loose: with deterministic jitter
-        # the importance samples can coincide exactly with coarse z's, and
-        # torch.sort vs lax.sort break the tie differently, redistributing
-        # weight between two samples at the same depth (sum preserved —
-        # checked tightly below; rgb/depth above are unaffected)
-        np.testing.assert_allclose(
-            w_ours, w_ref, atol=4e-3, err_msg=f"{branch} weights",
-        )
+        # Tie-aware per-element check. The deterministic fixture is
+        # degenerate: randn->0 collapses all 16 depth-jitter samples onto
+        # the expected depth, and the importance samples can coincide
+        # exactly with coarse z's. A 1-ulp torch-vs-JAX difference in
+        # those tied z's then flips their sort order, RELOCATING a
+        # sample's weight to a different slot of the same ray (observed:
+        # the whole 16-sample depth run lands on the other side of a
+        # coarse z). rgb/depth/weight-sums above pin the physics; here we
+        # additionally require that every above-tolerance discrepancy is
+        # such a relocation — the multiset of weight excesses must cancel
+        # (same values leave one slot and arrive at another).
+        d = w_ours.astype(np.float64) - w_ref.astype(np.float64)
+        for ray_idx in np.argwhere(np.any(np.abs(d) > 4e-3, axis=-1)):
+            ray_d = d[tuple(ray_idx)]
+            ex = ray_d[np.abs(ray_d) > 4e-3]
+            pos = np.sort(ex[ex > 0])
+            neg = np.sort(-ex[ex < 0])
+            assert pos.shape == neg.shape and np.allclose(
+                pos, neg, atol=4e-3
+            ), (
+                f"{branch} weights of ray {tuple(ray_idx)} differ beyond a "
+                f"sort-tie relocation: +{pos} vs -{neg}; ray diff "
+                f"{np.array2string(ray_d, precision=4, threshold=200)}"
+            )
         np.testing.assert_allclose(
             w_ours.sum(-1), w_ref.sum(-1), atol=2e-3,
             err_msg=f"{branch} weight sums",
