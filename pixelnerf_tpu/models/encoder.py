@@ -148,10 +148,12 @@ class ImageEncoder(nn.Module):
         return z
 
     @staticmethod
-    def index(latent: jax.Array, uv: jax.Array) -> jax.Array:
-        """(B, L), (B, N, 2) -> (B, N, L) broadcast."""
+    def index(latent: jax.Array, n_queries: int) -> jax.Array:
+        """(B, L) -> (B, n_queries, L) broadcast of the global vector per
+        query point (reference encoder.py:201-207, whose ``index(uv, ...)``
+        likewise ignores everything about uv except the query count)."""
         return jnp.broadcast_to(
-            latent[:, None, :], (latent.shape[0], uv.shape[1], latent.shape[1])
+            latent[:, None, :], (latent.shape[0], n_queries, latent.shape[1])
         )
 
     @classmethod

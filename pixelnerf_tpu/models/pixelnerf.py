@@ -310,7 +310,7 @@ class PixelNeRFNet(nn.Module):
             if self.stop_encoder_grad:
                 latent = jax.lax.stop_gradient(latent)
             if self.use_global_encoder:
-                glob = ImageEncoder.index(enc.global_latent, latent)  # (SB*NS, B, G)
+                glob = ImageEncoder.index(enc.global_latent, latent.shape[1])  # (SB*NS, B, G)
                 latent = jnp.concatenate([glob, latent], axis=-1)
         # emit in the MLP's compute dtype: ResnetFC casts its inputs anyway,
         # so this is value-identical but halves the staged path's feature

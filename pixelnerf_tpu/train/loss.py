@@ -62,7 +62,19 @@ def alpha_loss_nv2(
 
 
 def make_render_loss(conf):
-    """Build the coarse+fine RGB loss from a 'loss' config subtree."""
+    """Build the coarse+fine RGB loss from a 'loss' config subtree.
+
+    ``rgb_fine.use_uncertainty`` is honored: when set, the FINE pass uses the
+    Kendall'17 uncertainty loss, reading per-ray betas from
+    ``outputs["fine"]["betas"]``. Reference parity note: the reference
+    *selects* ``RGBWithUncertainty`` from this flag (src/model/loss.py:92)
+    but its trainer then calls the criterion with only ``(rgb, gt)``
+    (train/train.py:209) while ``forward`` requires ``betas``
+    (src/model/loss.py:62) — and no component ever produces betas — so
+    ``use_uncertainty=true`` is a guaranteed TypeError crash in the
+    reference. Here the flag works if the render outputs carry betas, and
+    fails with a diagnostic (not a bare TypeError) if they don't.
+    """
     lambda_coarse = conf.get_float("lambda_coarse", 1.0)
     lambda_fine = conf.get_float("lambda_fine", 1.0)
     use_l1_coarse = conf.get_config("rgb", None)
@@ -71,6 +83,9 @@ def make_render_loss(conf):
     )
     fine_conf = conf.get_config("rgb_fine", None)
     use_l1_fine = fine_conf.get_bool("use_l1", False) if fine_conf else use_l1_coarse
+    use_uncertainty = (
+        fine_conf.get_bool("use_uncertainty", False) if fine_conf else False
+    )
 
     def loss_fn(outputs, rgb_gt):
         losses = {}
@@ -78,7 +93,25 @@ def make_render_loss(conf):
         loss = lambda_coarse * rc
         losses["rc"] = rc
         if "fine" in outputs:
-            rf = rgb_loss(outputs["fine"]["rgb"], rgb_gt, use_l1_fine)
+            if use_uncertainty:
+                if "betas" not in outputs["fine"]:
+                    raise ValueError(
+                        "loss.rgb_fine.use_uncertainty=true but the render "
+                        "outputs carry no fine betas. (In the reference this "
+                        "config crashes with a TypeError: src/model/loss.py:62 "
+                        "requires betas, train/train.py:209 never passes them, "
+                        "and nothing produces them.) Provide "
+                        "outputs['fine']['betas'] of shape (..., n_rays) or "
+                        "unset the flag."
+                    )
+                rf = rgb_loss_with_uncertainty(
+                    outputs["fine"]["rgb"],
+                    rgb_gt,
+                    outputs["fine"]["betas"],
+                    use_l1_fine,
+                )
+            else:
+                rf = rgb_loss(outputs["fine"]["rgb"], rgb_gt, use_l1_fine)
             loss = loss + lambda_fine * rf
             losses["rf"] = rf
         losses["t"] = loss

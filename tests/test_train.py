@@ -177,3 +177,42 @@ def test_corrupt_checkpoint_falls_back_to_backup(tmp_path):
         f.write(b"garbage")
     restored = load_checkpoint(str(tmp_path), state)
     assert restored is not None and int(restored.step) == 5
+
+
+def test_use_uncertainty_wired_through_config():
+    """loss.rgb_fine.use_uncertainty selects the Kendall'17 fine loss
+    (reference src/model/loss.py:92) and reads betas from the fine outputs.
+    In the reference this flag is a guaranteed TypeError (train.py:209 never
+    passes betas); here it works when betas exist and raises a diagnostic
+    (not a bare TypeError) when they don't."""
+    from pixelnerf_tpu.config import ConfigNode
+    from pixelnerf_tpu.train import make_render_loss, rgb_loss_with_uncertainty
+    from pixelnerf_tpu.train.loss import rgb_loss
+
+    conf = ConfigNode(
+        {"rgb": {"use_l1": False}, "rgb_fine": {"use_uncertainty": True}}
+    )
+    loss_fn = make_render_loss(conf)
+    rng = np.random.default_rng(0)
+    rgb_c = jnp.asarray(rng.uniform(0, 1, (2, 16, 3)).astype(np.float32))
+    rgb_f = jnp.asarray(rng.uniform(0, 1, (2, 16, 3)).astype(np.float32))
+    gt = jnp.asarray(rng.uniform(0, 1, (2, 16, 3)).astype(np.float32))
+    betas = jnp.asarray(rng.uniform(0.1, 2.0, (2, 16)).astype(np.float32))
+
+    outputs = {"coarse": {"rgb": rgb_c}, "fine": {"rgb": rgb_f, "betas": betas}}
+    loss, parts = loss_fn(outputs, gt)
+    expect = rgb_loss(rgb_c, gt) + rgb_loss_with_uncertainty(rgb_f, gt, betas)
+    np.testing.assert_allclose(float(loss), float(expect), rtol=1e-6)
+    np.testing.assert_allclose(
+        float(parts["rf"]), float(rgb_loss_with_uncertainty(rgb_f, gt, betas)),
+        rtol=1e-6,
+    )
+
+    # betas absent -> diagnostic ValueError, not a bare TypeError
+    with pytest.raises(ValueError, match="use_uncertainty"):
+        loss_fn({"coarse": {"rgb": rgb_c}, "fine": {"rgb": rgb_f}}, gt)
+
+    # flag unset -> plain MSE on fine, betas ignored even if present
+    loss_plain, _ = make_render_loss(ConfigNode())(outputs, gt)
+    expect_plain = rgb_loss(rgb_c, gt) + rgb_loss(rgb_f, gt)
+    np.testing.assert_allclose(float(loss_plain), float(expect_plain), rtol=1e-6)
