@@ -50,7 +50,10 @@ def model_flops_per_ray(net, cfg, NS, baked=False):
         per_view += dh * 4
         post = 0
     macs_per_pt = NS * per_view + post
-    pts_per_ray = cfg.n_coarse + (cfg.n_coarse + cfg.n_fine)
+    if cfg.n_fine > 0:  # fine pass evaluates the sorted union (coarse+fine)
+        pts_per_ray = cfg.n_coarse + (cfg.n_coarse + cfg.n_fine)
+    else:  # coarse-only fidelity
+        pts_per_ray = cfg.n_coarse
     return 2 * macs_per_pt * pts_per_ray
 
 
@@ -142,8 +145,9 @@ def _render_rate(net, cfg, NS, n_rays, n_iters, ray_chunk, staged, fast,
         # scalar checksum: device_get on it is the only reliable execution
         # barrier through remoted TPU runtimes (block_until_ready returns
         # before device execution completes there)
-        checksum = out["fine"]["rgb"].sum() + out["fine"]["depth"].sum()
-        return out["fine"]["rgb"], out["fine"]["depth"], checksum
+        branch = out["fine"] if "fine" in out else out["coarse"]
+        checksum = branch["rgb"].sum() + branch["depth"].sum()
+        return branch["rgb"], branch["depth"], checksum
 
     key = jax.random.PRNGKey(1)
     out = render(variables, enc, rays, key)
@@ -298,17 +302,22 @@ def _bench_train(root):
 
     # real-loop ratio at the reference config: the Trainer loop (host batch
     # assembly from the synthetic dataset + dispatch + deferred metric
-    # fetches) over the isolated compiled step. Per-step time is measured as
-    # the delta between consecutive pipeline pulls so the first-step compile
-    # and the end-of-epoch checkpoint write don't contaminate steady state;
-    # interval side effects (save/vis) are pushed out of the window — the
-    # ratio isolates per-batch host overhead, the thing VERDICT r2 #2 asks
-    # to bound at <=1.1x.
+    # fetches) over the isolated compiled step. Measurement (fixed in r4;
+    # the r3 ratio of 0.86 < 1 was an artifact of timing host pull-to-pull
+    # deltas — with deferred metric fetches the host runs AHEAD of the
+    # device, so pull deltas measured host batch assembly, not step time):
+    # time from the first steady-state pull to an end-of-run device sync
+    # (patched into the trainer's end-of-epoch checkpoint hook, BEFORE the
+    # disk write), divided by the steps that window covers. Both numerator
+    # and dt_ref now end on a device barrier, so they are commensurable.
     loop_ratio = None
     try:
         import contextlib
         import io
         import tempfile
+        import unittest.mock as mock
+
+        import jax as _jax
 
         from pixelnerf_tpu.data.pipeline import RayBatchPipeline
         from pixelnerf_tpu.data.synthetic import SyntheticSphereDataset
@@ -323,7 +332,9 @@ def _bench_train(root):
             dset, batch_size=SB, rays_per_object=128, views=(NS,), workers=4
         )
         n_loop = 30
+        head = 3  # drop compile-affected first pulls
         pull_times = []
+        sync_times = []
 
         class TimingPipe:
             def __iter__(self):
@@ -331,19 +342,31 @@ def _bench_train(root):
                     pull_times.append(time.perf_counter())
                     yield batch
 
+        def sync_instead_of_save(_dir, state):
+            # device barrier: forces completion of every dispatched step
+            # (device_get — block_until_ready returns early via the tunnel)
+            _jax.device_get(state.step)
+            sync_times.append(time.perf_counter())
+
         conf["train"]["save_interval"] = 10 ** 9
         conf["train"]["vis_interval"] = 10 ** 9
         conf["train"]["eval_interval"] = 10 ** 9
+        conf["train"]["print_interval"] = 10 ** 9
         with tempfile.TemporaryDirectory() as td:
             os.environ.setdefault("PIXELNERF_NO_TB", "1")
             trainer = Trainer(
                 net, variables, TimingPipe(), None, cfg, conf, name="bench",
                 out_dir=td, num_epochs=1, epoch_batches=n_loop,
             )
-            with contextlib.redirect_stdout(io.StringIO()):
+            with contextlib.redirect_stdout(io.StringIO()), mock.patch(
+                "pixelnerf_tpu.train.trainer.save_checkpoint",
+                sync_instead_of_save,
+            ):
                 trainer.start()
-        deltas = np.diff(np.asarray(pull_times))
-        dt_loop = float(np.median(deltas[3:]))  # drop compile-affected head
+        # pull k precedes step k's dispatch; the end sync covers all n_loop
+        # steps, so the window [pull_times[head], sync) holds n_loop - head
+        # steady-state steps
+        dt_loop = (sync_times[0] - pull_times[head]) / (n_loop - head)
         loop_ratio = round(dt_loop / dt_ref, 2)
     except Exception as e:  # pragma: no cover - diagnostics only
         print(f"# train loop ratio failed: {e}", file=sys.stderr)
@@ -464,6 +487,43 @@ def main():
                 "mfu": round(r * f / V5E_BF16_PEAK, 3),
             }
 
+    # --- fidelity-adjusted ceiling + reduced-fidelity fast mode -------------
+    # (VERDICT r3 #5) The 1e7 rays/s BASELINE target exceeds what 100% MXU
+    # utilization permits at reference fidelity: ceiling = peak / FLOPs-per-
+    # ray. Emitting it first-class makes the reconciliation machine-readable;
+    # fast_mode shows the framework's rays/s when model FLOPs shrink
+    # (coarse-only 64 samples, d_hidden 128) — evidence the headline gap is
+    # model physics, not framework overhead.
+    ceiling_rays_per_sec = V5E_BF16_PEAK / flops_per_ray
+    fast_mode = None
+    if os.environ.get("BENCH_FAST_MODE", "1") == "1":
+        try:
+            conf_fm = load_config(os.path.join(root, "conf", "exp", "srn.conf"))
+            conf_fm["model"]["dtype"] = os.environ.get("BENCH_DTYPE", "bfloat16")
+            conf_fm["model"]["mlp_coarse"]["d_hidden"] = 128
+            conf_fm["model"]["mlp_fine"] = {"type": "empty"}
+            net_fm = make_model(conf_fm["model"])
+            cfg_fm = RenderConfig(n_coarse=64, n_fine=0, n_fine_depth=0,
+                                  white_bkgd=True)
+            r_fm = _render_rate(
+                net_fm, cfg_fm, 1, n_rays,
+                int(os.environ.get("BENCH_FAST_MODE_ITERS", n_iters)),
+                ray_chunk, staged=False, fast=False,
+            )
+            f_fm = model_flops_per_ray(net_fm, cfg_fm, 1)
+            ceil_fm = V5E_BF16_PEAK / f_fm
+            fast_mode = {
+                "config": "coarse-only n_coarse=64, d_hidden=128, 1 view",
+                "rays_per_sec": round(r_fm, 1),
+                "vs_baseline": round(r_fm / BASELINE_RAYS_PER_SEC, 4),
+                "flops_per_ray": f_fm,
+                "mfu": round(r_fm * f_fm / V5E_BF16_PEAK, 3),
+                "ceiling_rays_per_sec": round(ceil_fm, 1),
+                "pct_of_ceiling": round(r_fm / ceil_fm, 3),
+            }
+        except Exception as e:  # pragma: no cover - diagnostics only
+            print(f"# fast-mode bench failed: {e}", file=sys.stderr)
+
     # --- stage attribution --------------------------------------------------
     stages = None
     if os.environ.get("BENCH_STAGES", "1") == "1":
@@ -520,6 +580,12 @@ def main():
                 ),
                 "mfu_vs_v5e_bf16_peak": round(mfu, 3),
                 "flops_per_ray": flops_per_ray,
+                # 100%-MXU bound at this fidelity: peak / FLOPs-per-ray. The
+                # 1e7 baseline target is ~56x above this bound at reference
+                # fidelity — see PERF.md "Reconciling the baseline target".
+                "ceiling_rays_per_sec": round(ceiling_rays_per_sec, 1),
+                "pct_of_ceiling": round(rays_per_sec / ceiling_rays_per_sec, 3),
+                "fast_mode": fast_mode,
                 "views": views,
                 "stages": stages,
                 "train": train,

@@ -353,6 +353,13 @@ def render_rays_chunked(
     - ``"dots"``: save GEMM outputs, recompute only cheap elementwise ops
       (``checkpoint_dots_with_no_batch_dims``); nearly the no-remat speed at
       a fraction of its activation memory
+    - ``"features"``: save only values tagged ``checkpoint_name(...,
+      "gathered_features")`` (the staged query's gathered pixel-aligned
+      features — see train/step.py). The backward then recomputes just the
+      MXU-cheap MLP GEMMs while the scalar-unit-bound feature stage (camera
+      transform + projection + bilinear gather + posenc) is read back
+      instead of re-executed; costs ~d_latent x points of saved activations
+      per chunk, far below ``"dots"``
     - ``False``: save everything
     """
     SB, B, _ = rays.shape
@@ -370,6 +377,13 @@ def render_rays_chunked(
         chunk_render = jax.checkpoint(
             chunk_render,
             policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        )
+    elif remat == "features":
+        chunk_render = jax.checkpoint(
+            chunk_render,
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "gathered_features"
+            ),
         )
     elif remat:
         chunk_render = jax.checkpoint(chunk_render)

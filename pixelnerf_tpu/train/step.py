@@ -15,6 +15,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import optax
+from jax.ad_checkpoint import checkpoint_name
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..render.renderer import RenderConfig, render_rays, render_rays_chunked
@@ -63,10 +64,16 @@ def make_train_step(
         # features (bit-identical values => identical gradients; see
         # render_rays). The feature stage is the gather-bound part, so this
         # also trims the backward's scatter-add work.
+        # The outputs carry a checkpoint name so the "features" remat policy
+        # can SAVE the gathered features while rematerializing only the
+        # MXU-cheap MLP GEMMs (a no-op identity under any other policy).
         def features_fn(xyz, viewdirs):
-            return net.apply(
+            feats = net.apply(
                 variables, enc, xyz, viewdirs=viewdirs,
                 method=net.query_features,
+            )
+            return jax.tree_util.tree_map(
+                lambda x: checkpoint_name(x, "gathered_features"), feats
             )
 
         def mlp_fn(feats, coarse):

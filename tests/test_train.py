@@ -216,3 +216,56 @@ def test_use_uncertainty_wired_through_config():
     loss_plain, _ = make_render_loss(ConfigNode())(outputs, gt)
     expect_plain = rgb_loss(rgb_c, gt) + rgb_loss(rgb_f, gt)
     np.testing.assert_allclose(float(loss_plain), float(expect_plain), rtol=1e-6)
+
+
+@pytest.mark.parametrize("remat", [False, True, "dots", "features"])
+def test_remat_policies_same_gradients(remat):
+    """Every remat policy of the chunked train render (False / full /
+    dots / features — the last saves the checkpoint-named gathered features
+    and recomputes only MLP GEMMs) must produce identical losses and
+    gradients; remat changes the memory/recompute schedule, never values."""
+    net, cfg, loss_fn, conf = _build(n_coarse=8, n_fine=4)
+    SB, NS, H, W, R = 1, 1, 16, 16, 32
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.uniform(-1, 1, (SB, NS, H, W, 3)).astype(np.float32))
+    poses = jnp.asarray(
+        geometry.look_at(np.array([0.0, 0.2, 2.0], np.float32), np.zeros(3))
+    )[None, None]
+    focal = jnp.asarray(np.float32(1.2 * W))
+    variables = net.init(
+        jax.random.PRNGKey(0), images, poses, focal,
+        jnp.zeros((SB, 8, 3)), jnp.ones((SB, 8, 3)),
+    )
+    rays = geometry.gen_rays(poses[:, 0], W, H, focal, 1.0, 3.0).reshape(SB, -1, 8)
+    rays = rays[:, :R]
+    rgb_gt = jnp.asarray(rng.uniform(0, 1, (SB, R, 3)).astype(np.float32))
+    batch = {
+        "images": images, "poses": poses,
+        "focal": jnp.full((SB,), float(focal), jnp.float32),
+        "c": jnp.full((SB, 2), W / 2.0, jnp.float32),
+        "rays": rays, "rgb_gt": rgb_gt,
+    }
+    optimizer = optax.sgd(1.0)  # param delta == -grad exactly
+
+    def one_step(mode):
+        step = make_train_step(
+            net, cfg, optimizer, loss_fn, ray_chunk=8, remat=mode
+        )
+        state = TrainState(
+            params=jax.tree_util.tree_map(jnp.array, variables["params"]),
+            batch_stats=jax.tree_util.tree_map(
+                jnp.array, variables.get("batch_stats", {})
+            ),
+            opt_state=optimizer.init(variables["params"]),
+            step=jnp.zeros((), jnp.int32),
+        )
+        new_state, metrics = step(state, dict(batch), jax.random.PRNGKey(0))
+        return float(metrics["t"]), jax.device_get(new_state.params)
+
+    loss_ref, params_ref = one_step(False)
+    loss, params = one_step(remat)
+    np.testing.assert_allclose(loss, loss_ref, rtol=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(params_ref)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
