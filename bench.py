@@ -247,9 +247,10 @@ def _bench_train(root):
 
     flops_per_ray = model_flops_per_ray(net, cfg, NS)
 
-    def run_config(R, ray_chunk, iters, step_net=net):
+    def run_config(R, ray_chunk, iters, step_net=net, remat=True):
         step = make_train_step(
-            step_net, cfg, optimizer, loss_fn, mesh=None, ray_chunk=ray_chunk
+            step_net, cfg, optimizer, loss_fn, mesh=None, ray_chunk=ray_chunk,
+            remat=remat,
         )
         state = TrainState(
             params=jax.tree_util.tree_map(jnp.array, variables["params"]),
@@ -293,11 +294,13 @@ def _bench_train(root):
         }, dt
 
     ref, dt_ref = run_config(R=128, ray_chunk=None, iters=20)
-    # chip-filling: bf16 compute (f32 params), 256-ray scan chunks with
-    # full remat — the measured optimum (scripts/probe_train_{chunk,bf16}.py:
-    # chunk 1024->256 +6%, f32->bf16 +55%; "dots" remat policy and larger R
-    # both measured slower)
-    filling, _ = run_config(R=2048, ray_chunk=256, iters=8, step_net=net_mp)
+    # chip-filling: bf16 compute (f32 params), 256-ray scan chunks with the
+    # "features" remat policy — the measured optimum
+    # (scripts/probe_train_{chunk,bf16,roofline}.py: chunk 1024->256 +6%,
+    # f32->bf16 +55%, features vs full remat +1%; "dots" remat and larger R
+    # both measured slower, remat=False OOMs — PERF.md "Training roofline")
+    filling, _ = run_config(R=2048, ray_chunk=256, iters=8, step_net=net_mp,
+                            remat="features")
     filling["mixed_precision"] = True
 
     # real-loop ratio at the reference config: the Trainer loop (host batch

@@ -147,9 +147,14 @@ def main(argv=None):
         target = NV - 1
         H, W = d["images"].shape[1:3]
         variables = state.variables
+        # DTU-style datasets carry a per-object (fx, fy) focal vector; give
+        # it the SB batch dim encode expects (scalars broadcast as-is)
+        focal = np.asarray(d["focal"], np.float32)
+        if focal.ndim == 1:
+            focal = focal[None]
         enc = net.apply(
             variables, jnp.asarray(d["images"][None, src]),
-            jnp.asarray(d["poses"][None, src]), jnp.asarray(d["focal"]),
+            jnp.asarray(d["poses"][None, src]), jnp.asarray(focal),
             c=jnp.asarray(d.get("c", np.array([W / 2, H / 2], np.float32))[None]),
             method=net.encode,
         )

@@ -59,6 +59,11 @@ def _normalize_intrinsic(v, batch: int, name: str, num_views: int = 1) -> jax.Ar
     v = jnp.asarray(v, dtype=jnp.float32)
     if v.ndim == 0:
         v = jnp.full((batch, 2), v)
+    elif v.ndim == 1 and batch == 1 and v.shape[0] == 2:
+        # unbatched (fx, fy) vector (DTU-style datasets) — unambiguous at
+        # SB=1, so accept it the way the reference's repeat_interleave
+        # broadcasting does (models.py:119-141)
+        v = v[None]
     elif v.ndim == 1:
         v = jnp.broadcast_to(v[:, None], (v.shape[0], 2))
     if v.shape[0] == 1 and batch > 1:
