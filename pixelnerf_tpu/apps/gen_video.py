@@ -34,8 +34,10 @@ def extra_args(parser):
                         help="orbit radius; 0 = infer from source poses")
     parser.add_argument("--scale", type=float, default=1.0)
     parser.add_argument("--fps", type=int, default=30)
-    parser.add_argument("--traj", type=str, default="spherical",
-                        choices=["spherical", "spline"])
+    parser.add_argument("--traj", type=str, default="auto",
+                        choices=["auto", "spherical", "spline", "dtu"],
+                        help="auto = dtu keyframes for DTU datasets, "
+                             "spherical orbit otherwise (reference behavior)")
     parser.add_argument("--output", "-O", type=str, default="video_out")
     parser.add_argument("--no_mesh", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
@@ -70,6 +72,48 @@ def spline_trajectory(poses, num_views):
     out = np.tile(np.eye(4, dtype=np.float32), (num_views, 1, 1))
     out[:, :3, :3] = R
     out[:, :3, 3] = t_spline(t_eval)
+    return out
+
+
+# IDR's hard-coded DTU camera keyframes (pose interpolation constants from
+# reference gen_video.py:120-156 — dataset-specific metadata, like viewlists)
+_DTU_T_IN = np.array([0.0, 2.0, 3.0, 5.0, 6.0], dtype=np.float32)
+_DTU_KEY_QUATS = np.array(
+    [
+        [0.9698, 0.2121, 0.1203, -0.0039],
+        [0.7020, 0.1578, 0.4525, 0.5268],
+        [0.6766, 0.3176, 0.5179, 0.4161],
+        [0.9085, 0.4020, 0.1139, -0.0025],
+        [0.9698, 0.2121, 0.1203, -0.0039],
+    ],
+    dtype=np.float32,
+)
+_DTU_SCALE = 2.0
+
+
+def dtu_trajectory(num_views):
+    """The reference's DTU camera path (gen_video.py:120-156): a periodic
+    cubic spline through IDR's hard-coded quaternion keyframes at knots
+    [0,2,3,5,6], camera center = 2.0 x the rotated +z axis.
+
+    Matches the reference's frame-count behavior exactly: n_inter =
+    num_views // 5 interpolants per knot unit, so the returned path has
+    n_inter * 6 poses (the reference resets args.num_views to n_inter * 5
+    but renders linspace over all 6 knot units).
+    """
+    from scipy.interpolate import CubicSpline
+
+    n_inter = num_views // 5
+    assert n_inter >= 1, "dtu trajectory needs num_views >= 5"
+    t_out = np.linspace(
+        _DTU_T_IN[0], _DTU_T_IN[-1], n_inter * int(_DTU_T_IN[-1])
+    ).astype(np.float32)
+    q = CubicSpline(_DTU_T_IN, _DTU_KEY_QUATS, bc_type="periodic")(t_out)
+    q = q / np.linalg.norm(q, axis=-1, keepdims=True)
+    R = np.asarray(geometry.quat_to_rot(jnp.asarray(q.astype(np.float32))))
+    out = np.tile(np.eye(4, dtype=np.float32), (len(t_out), 1, 1))
+    out[:, :3, :3] = R
+    out[:, :3, 3] = R[:, :, 2] * _DTU_SCALE
     return out
 
 
@@ -109,11 +153,18 @@ def main(argv=None):
         mesh = make_mesh()
     renderer = FullRenderer(net, cfg, mesh=mesh, ray_chunk=args.ray_batch_size)
 
-    if args.traj == "spherical":
+    traj = args.traj
+    if traj == "auto":
+        # the reference picks the DTU keyframe path whenever the dataset is
+        # DVR sub_format "dtu", spherical otherwise (gen_video.py:119-121)
+        traj = "dtu" if getattr(dset, "sub_format", None) == "dtu" else "spherical"
+    if traj == "spherical":
         radius = args.radius or float(
             np.linalg.norm(poses[:, :3, 3], axis=-1).mean()
         ) * args.scale
         render_poses = spherical_trajectory(args.num_views, args.elevation, radius)
+    elif traj == "dtu":
+        render_poses = dtu_trajectory(args.num_views)
     else:
         render_poses = spline_trajectory(poses, args.num_views)
 
@@ -132,11 +183,12 @@ def main(argv=None):
 
     rng = jax.random.PRNGKey(args.seed)
     frames = []
-    for i in range(args.num_views):
+    n_frames = len(render_poses)  # dtu path yields (num_views//5)*6 frames
+    for i in range(n_frames):
         rng, key = jax.random.split(rng)
         rgb, _ = renderer.render_image(variables, enc, rays[i], key)
         frames.append((np.clip(rgb, 0, 1) * 255).astype(np.uint8))
-        print(f"frame {i+1}/{args.num_views}")
+        print(f"frame {i+1}/{n_frames}")
 
     os.makedirs(args.output, exist_ok=True)
     import imageio.v2 as imageio

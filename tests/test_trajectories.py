@@ -34,6 +34,52 @@ def test_spline_through_poses():
     np.testing.assert_allclose(out[0, :3, 3], poses[0, :3, 3], atol=1e-5)
 
 
+def test_dtu_keyframe_trajectory_matches_reference_algorithm():
+    """dtu_trajectory reproduces the reference's hard-coded IDR pose
+    interpolation (reference eval/gen_video.py:120-156) — recomputed here
+    independently with scipy + the explicit Hamilton quaternion->matrix
+    formula, including the reference's n_inter*6 frame-count quirk."""
+    from scipy.interpolate import CubicSpline
+
+    from pixelnerf_tpu.apps.gen_video import dtu_trajectory
+
+    got = dtu_trajectory(40)  # n_inter = 8 -> 48 frames (reference quirk)
+    assert got.shape == (48, 4, 4)
+
+    t_in = np.array([0, 2, 3, 5, 6], dtype=np.float32)
+    key_q = np.array(
+        [
+            [0.9698, 0.2121, 0.1203, -0.0039],
+            [0.7020, 0.1578, 0.4525, 0.5268],
+            [0.6766, 0.3176, 0.5179, 0.4161],
+            [0.9085, 0.4020, 0.1139, -0.0025],
+            [0.9698, 0.2121, 0.1203, -0.0039],
+        ],
+        dtype=np.float32,
+    )
+    t_out = np.linspace(0, 6, 8 * 6).astype(np.float32)
+    q = CubicSpline(t_in, key_q, bc_type="periodic")(t_out)
+    q = q / np.linalg.norm(q, axis=-1, keepdims=True)
+    w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    R = np.empty((len(q), 3, 3), dtype=np.float64)
+    R[:, 0, 0] = 1 - 2 * (y**2 + z**2)
+    R[:, 0, 1] = 2 * (y * x - z * w)
+    R[:, 0, 2] = 2 * (x * z + w * y)
+    R[:, 1, 0] = 2 * (y * x + z * w)
+    R[:, 1, 1] = 1 - 2 * (x**2 + z**2)
+    R[:, 1, 2] = 2 * (y * z - x * w)
+    R[:, 2, 0] = 2 * (z * x - y * w)
+    R[:, 2, 1] = 2 * (y * z + x * w)
+    R[:, 2, 2] = 1 - 2 * (x**2 + y**2)
+    np.testing.assert_allclose(got[:, :3, :3], R, atol=1e-5)
+    np.testing.assert_allclose(got[:, :3, 3], R[:, :, 2] * 2.0, atol=1e-5)
+    np.testing.assert_allclose(got[:, 3], np.tile([0, 0, 0, 1], (48, 1)))
+    # periodic: last frame is close to the (wrapped-around) first keyframe
+    np.testing.assert_allclose(
+        np.linalg.norm(got[:, :3, 3], axis=-1), 2.0, atol=1e-5
+    )
+
+
 def test_blender_view_eulers():
     """The Blender OBJ renderer's view law (pure-python part) matches the
     reference render_shapenet.py:492-501: eval is the SRN Archimedes spiral
