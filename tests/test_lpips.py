@@ -112,6 +112,39 @@ def test_lpips_invariants():
     assert float(lp(a, eps)[0]) < d_ab
 
 
+def test_lpips_matches_recorded_package_outputs():
+    """Pin utils/lpips.py to the REAL lpips package's recorded outputs
+    (closes the shared-misconception risk the in-repo referee leaves open).
+    Auto-unskips when the networked-env artifacts exist — see
+    scripts/record_lpips_golden.py for the one-command recording recipe."""
+    import hashlib
+    import os
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    fixture = os.path.join(root, "tests", "fixtures", "lpips_golden.npz")
+    weights = os.path.join(root, "weights", "lpips_vgg.pth")
+    if not os.path.exists(fixture) or not os.path.exists(weights):
+        pytest.skip(
+            "recorded lpips fixture/weights absent (network-gated): run "
+            "scripts/fetch_lpips_weights.py + scripts/record_lpips_golden.py"
+        )
+    sys.path.insert(0, os.path.join(root, "scripts"))
+    from record_lpips_golden import golden_inputs, inputs_digest
+
+    rec = np.load(fixture)
+    pairs = golden_inputs()
+    # prove we regenerated the exact pixels the recorder scored
+    assert inputs_digest(pairs) == str(rec["inputs_sha256"])
+    with open(weights, "rb") as f:
+        assert hashlib.sha256(f.read()).hexdigest() == str(rec["weights_sha256"]), \
+            "weights file differs from the one the fixture was recorded with"
+
+    lp = LPIPS.from_torch_file(weights)
+    ours = np.concatenate([np.asarray(lp(a, b)).reshape(-1) for a, b in pairs])
+    np.testing.assert_allclose(ours, rec["dists"], rtol=1e-4, atol=1e-6)
+
+
 def test_lpips_import_rejects_incomplete():
     sd = _random_torch_state_dict(seed=1)
     sd.pop("lin2.model.1.weight")
