@@ -10,6 +10,8 @@ Supports the synthetic fixture dataset out of the box:
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -41,6 +43,13 @@ def extra_args(parser):
     parser.add_argument("--train_ray_chunk", type=int, default=None,
                         help="scan the train render in microbatches of this "
                         "many rays (bounds memory at large -R)")
+    parser.add_argument("--train_remat", type=str, default="true",
+                        choices=["true", "false", "dots", "features"],
+                        help="rematerialization policy for the scanned train "
+                        "render: true=full remat, false=save everything, "
+                        "dots=save GEMM outputs, features=save the gathered "
+                        "pixel-aligned features (measured-best on v5e at "
+                        "chip-filling configs; PERF.md 'Training roofline')")
     parser.add_argument("--workers", type=int, default=4,
                         help="dataset-loading threads in the input pipeline")
     parser.add_argument("--pretrained_encoder", type=str, default=None,
@@ -202,6 +211,11 @@ def main(argv=None):
         conf=conf,
         name=args.name,
         out_dir=".",
+        # honor --checkpoints_path/--visual_path/--logs_path (reference
+        # train/trainlib/trainer.py derives its dirs from the same flags)
+        ckpt_dir=os.path.join(args.checkpoints_path, args.name),
+        visual_dir=os.path.join(args.visual_path, args.name),
+        log_dir=os.path.join(args.logs_path, args.name),
         lr=args.lr,
         gamma=args.gamma,
         mesh=mesh,
@@ -214,6 +228,9 @@ def main(argv=None):
             conf.get_config("renderer", ConfigNode()), render_cfg
         ),
         train_ray_chunk=args.train_ray_chunk,
+        train_remat={"true": True, "false": False}.get(
+            args.train_remat, args.train_remat
+        ),
         seed=args.seed,
     )
     with trace(args.profile_dir):

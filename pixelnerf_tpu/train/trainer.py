@@ -45,7 +45,11 @@ class Trainer:
         vis_fn: Optional[Callable] = None,
         render_schedule=None,
         train_ray_chunk=None,
+        train_remat=True,
         seed: int = 0,
+        ckpt_dir: Optional[str] = None,
+        visual_dir: Optional[str] = None,
+        log_dir: Optional[str] = None,
     ):
         self.net = net
         self.render_cfg = render_cfg
@@ -64,8 +68,9 @@ class Trainer:
         self.accu_grad = get("accu_grad", 1)
         self.num_epoch_repeats = get("num_epoch_repeats", 1)
 
-        self.ckpt_dir = os.path.join(out_dir, "checkpoints", name)
-        self.visual_dir = os.path.join(out_dir, "visuals", name)
+        self.ckpt_dir = ckpt_dir or os.path.join(out_dir, "checkpoints", name)
+        self.visual_dir = visual_dir or os.path.join(out_dir, "visuals", name)
+        self._log_dir = log_dir or os.path.join(out_dir, "logs", name)
         os.makedirs(self.ckpt_dir, exist_ok=True)
         os.makedirs(self.visual_dir, exist_ok=True)
 
@@ -117,6 +122,7 @@ class Trainer:
         self.render_schedule = render_schedule
         self.train_encoder = train_encoder
         self.train_ray_chunk = train_ray_chunk
+        self.train_remat = train_remat
         self._step_cache = {}
         self.train_step = self._steps_for(render_cfg)[0]
         self.eval_step = self._steps_for(render_cfg)[1]
@@ -133,7 +139,7 @@ class Trainer:
             try:
                 from torch.utils.tensorboard import SummaryWriter
 
-                self.writer = SummaryWriter(os.path.join(out_dir, "logs", name))
+                self.writer = SummaryWriter(self._log_dir)
             except Exception:
                 pass
 
@@ -146,6 +152,7 @@ class Trainer:
                     self.net, cfg, self.optimizer, self.loss_fn,
                     mesh=self.mesh, train_encoder=self.train_encoder,
                     ray_chunk=self.train_ray_chunk,
+                    remat=self.train_remat,
                 ),
                 make_eval_step(self.net, cfg, self.loss_fn, mesh=self.mesh),
             )

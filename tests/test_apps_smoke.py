@@ -34,6 +34,7 @@ def test_train_cli(workdir):
     train.main(
         ["-n", "smoke", "-c", CONF, "-F", "synthetic", "-B", "1", "-V", "1",
          "-R", "32", "--epochs", "1", "--epoch_batches", "4", "--no_mesh",
+         "--train_ray_chunk", "16", "--train_remat", "features",
          "--override", "train.eval_interval=1000",
          "--override", "train.vis_interval=1000",
          "--override", "train.save_interval=3"] + TINY
@@ -41,6 +42,29 @@ def test_train_cli(workdir):
     assert os.path.exists(
         os.path.join(workdir, "checkpoints", "smoke", "train_state.msgpack")
     )
+
+
+def test_train_cli_output_path_flags(workdir):
+    """--checkpoints_path/--visual_path/--logs_path redirect every output
+    (reference train scripts honor the same flags via trainlib)."""
+    from pixelnerf_tpu.apps import train
+
+    train.main(
+        ["-n", "pathsmoke", "-c", CONF, "-F", "synthetic", "-B", "1",
+         "-V", "1", "-R", "32", "--epochs", "1", "--epoch_batches", "2",
+         "--no_mesh",
+         "--checkpoints_path", os.path.join(workdir, "alt_ckpt"),
+         "--visual_path", os.path.join(workdir, "alt_vis"),
+         "--logs_path", os.path.join(workdir, "alt_logs"),
+         "--override", "train.eval_interval=1000",
+         "--override", "train.vis_interval=2",
+         "--override", "train.save_interval=2"] + TINY
+    )
+    assert os.path.exists(
+        os.path.join(workdir, "alt_ckpt", "pathsmoke", "train_state.msgpack")
+    )
+    assert os.listdir(os.path.join(workdir, "alt_vis", "pathsmoke"))
+    assert not os.path.exists(os.path.join(workdir, "checkpoints", "pathsmoke"))
 
 
 def test_eval_approx_cli(workdir):

@@ -55,3 +55,36 @@ def test_snapshot_discovery_and_filter(tmp_path, monkeypatch, capsys):
          "--steps", "1000"]
     )
     assert [p["step"] for p in curve] == [1000]  # live excluded under filter
+
+def test_snapshot_watcher_step_tagging(tmp_path):
+    """snapshot_watcher copies the live file to a step-tagged name only when
+    the trained step advanced by the snapshot stride."""
+    import flax.serialization
+
+    spec = importlib.util.spec_from_file_location(
+        "snapshot_watcher", os.path.join(REPO, "scripts", "snapshot_watcher.py")
+    )
+    sw = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sw)
+
+    live = tmp_path / "train_state.msgpack"
+
+    def write_live(step):
+        live.write_bytes(
+            flax.serialization.msgpack_serialize({"step": step, "params": {}})
+        )
+
+    write_live(100)
+    assert sw.read_step(str(live)) == 100
+    last = sw.snapshot_if_due(str(live), last_snap=-2000, every=2000)
+    assert last == 100
+    assert (tmp_path / "train_state_step100.msgpack").exists()
+
+    write_live(1900)  # +1800 < stride: no snapshot
+    assert sw.snapshot_if_due(str(live), last_snap=last, every=2000) == 100
+    assert not (tmp_path / "train_state_step1900.msgpack").exists()
+
+    write_live(2200)  # +2100 >= stride: snapshot, and it round-trips
+    assert sw.snapshot_if_due(str(live), last_snap=last, every=2000) == 2200
+    snap = tmp_path / "train_state_step2200.msgpack"
+    assert snap.exists() and sw.read_step(str(snap)) == 2200
