@@ -366,10 +366,12 @@ def _bench_train(root):
                 sync_instead_of_save,
             ):
                 trainer.start()
-        # pull k precedes step k's dispatch; the end sync covers all n_loop
-        # steps, so the window [pull_times[head], sync) holds n_loop - head
-        # steady-state steps
-        dt_loop = (sync_times[0] - pull_times[head]) / (n_loop - head)
+        # pull k precedes step k's dispatch; the trainer also saves once at
+        # batch_idx==1 (trainer.py:293, 1 % 10**9 == 1), so sync_times holds
+        # [early batch-1 sync, end-of-epoch sync] — the LAST one is the
+        # barrier that covers all n_loop steps, giving n_loop - head
+        # steady-state steps in [pull_times[head], sync_times[-1])
+        dt_loop = (sync_times[-1] - pull_times[head]) / (n_loop - head)
         loop_ratio = round(dt_loop / dt_ref, 2)
     except Exception as e:  # pragma: no cover - diagnostics only
         print(f"# train loop ratio failed: {e}", file=sys.stderr)

@@ -55,7 +55,13 @@ class SceneEncoding:
 
 def _normalize_intrinsic(v, batch: int, name: str, num_views: int = 1) -> jax.Array:
     """Broadcast focal/c to (SB, 2) — or keep per-view (SB*NS, 2) inputs
-    (reference encode also accepts per-view intrinsics; models.py:119-141)."""
+    (reference encode also accepts per-view intrinsics; models.py:119-141).
+
+    1-D precedence (shape is all jit can branch on): a length-2 vector at
+    SB == 1 is an (fx, fy) pair (what DTU-style adapters emit); any other
+    1-D input is per-entry scalars f_i -> (f_i, f_i), the reference's
+    documented semantics. At SB == 2 a (2,) input therefore means two
+    per-object scalars, NOT (fx, fy) — pass shape (SB, 2) to be explicit."""
     v = jnp.asarray(v, dtype=jnp.float32)
     if v.ndim == 0:
         v = jnp.full((batch, 2), v)

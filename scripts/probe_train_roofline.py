@@ -39,6 +39,7 @@ def main():
     import jax
     import jax.numpy as jnp
     import optax
+    from jax.ad_checkpoint import checkpoint_name
 
     from pixelnerf_tpu.config import ConfigNode, load_config
     from pixelnerf_tpu.models import make_model
@@ -142,7 +143,12 @@ def main():
                               method=net.query_features)
             if stop_feats:
                 feats = jax.lax.stop_gradient(feats)
-            return feats
+            # same tag as train/step.py — without it the "features" remat
+            # policy's save_only_these_names matches nothing and the
+            # attribution silently measures full remat instead
+            return jax.tree_util.tree_map(
+                lambda x: checkpoint_name(x, "gathered_features"), feats
+            )
 
         def mlp_fn(feats, coarse):
             return net.apply(vs, enc, feats, coarse=coarse,

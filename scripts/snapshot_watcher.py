@@ -4,10 +4,10 @@
 The trainer overwrites ``checkpoints/<name>/train_state.msgpack`` in place
 (reference trainlib/trainer.py keeps only the latest file the same way);
 ``scripts/quality_curve.py`` wants ``train_state_step<N>.msgpack`` snapshots
-to plot PSNR-vs-steps. This watcher polls the live file, reads its trained
-step (msgpack header only — no model construction needed), and copies it to
-a step-tagged name whenever the step advanced by ``--every`` since the last
-snapshot.
+to plot PSNR-vs-steps. This watcher polls the live file's mtime and, only
+when it changed, deserializes the state dict to read its trained step (no
+model construction needed), copying the file to a step-tagged name whenever
+the step advanced by ``--every`` since the last snapshot.
 
     python scripts/snapshot_watcher.py -n r4train --every 2000 &
 """
@@ -68,9 +68,11 @@ def main(argv=None):
             try:
                 mtime = os.path.getmtime(live)
                 if mtime != last_mtime:
-                    last_mtime = mtime
                     last_change = time.time()
                     last_snap = snapshot_if_due(live, last_snap, args.every)
+                    # only mark the mtime consumed once the read+copy
+                    # succeeded — a torn read retries on the next poll
+                    last_mtime = mtime
             except Exception as e:  # torn read etc.: retry next poll
                 print(f"[snapshot] skipped: {e}", flush=True)
         if time.time() - last_change > args.max_wait:

@@ -174,3 +174,31 @@ def test_baked_encoding_matches_unbaked():
                 )
             )
             np.testing.assert_allclose(fast, plain, atol=3e-5, rtol=1e-4)
+
+
+def test_normalize_intrinsic_1d_precedence():
+    """Documented 1-D shape precedence: (2,) at SB=1 is an (fx, fy) pair;
+    any other 1-D input is per-entry scalars f_i -> (f_i, f_i) (reference
+    models.py:119-141 documents the scalar-vector semantics)."""
+    from pixelnerf_tpu.models.pixelnerf import _normalize_intrinsic
+
+    # (fx, fy) pair at SB=1 (DTU-style adapters emit this)
+    out = _normalize_intrinsic(jnp.array([100.0, 120.0]), 1, "focal", 3)
+    np.testing.assert_allclose(np.asarray(out), [[100.0, 120.0]])
+
+    # the same shape at SB=2 means two per-object scalars
+    out = _normalize_intrinsic(jnp.array([100.0, 120.0]), 2, "focal", 1)
+    np.testing.assert_allclose(
+        np.asarray(out), [[100.0, 100.0], [120.0, 120.0]]
+    )
+
+    # per-view scalars (SB*NS,) pass through as (SB*NS, 2)
+    out = _normalize_intrinsic(jnp.arange(4.0) + 1, 2, "focal", 2)
+    assert out.shape == (4, 2)
+    np.testing.assert_allclose(np.asarray(out)[:, 0], [1.0, 2.0, 3.0, 4.0])
+
+    # scalar broadcast + rank-2 passthrough
+    np.testing.assert_allclose(
+        np.asarray(_normalize_intrinsic(7.0, 2, "focal")),
+        np.full((2, 2), 7.0),
+    )
