@@ -33,17 +33,26 @@ def read_step(path: str):
 def snapshot_if_due(live: str, last_snap: int, every: int):
     """Copy ``live`` to a step-tagged sibling when its step advanced by
     ``every`` since ``last_snap``. Returns the new last_snap (unchanged when
-    not due). Copy-then-rename keeps readers from seeing a torn file."""
-    step = read_step(live)
-    if step - last_snap < every:
-        return last_snap
-    dst = os.path.join(
-        os.path.dirname(live), f"train_state_step{step}.msgpack"
-    )
-    shutil.copyfile(live, dst + ".tmp")
-    os.replace(dst + ".tmp", dst)
-    print(f"[snapshot] step {step} -> {dst}", flush=True)
-    return step
+    not due). Copy FIRST, then read the step from the copy: the trainer can
+    os.replace() the live file at any moment, and reading the step before
+    copying could tag the snapshot with a step that no longer matches its
+    contents. Copy-then-rename also keeps readers from seeing a torn file."""
+    tmp = live + ".snap.tmp"
+    shutil.copyfile(live, tmp)
+    try:
+        step = read_step(tmp)
+        if step - last_snap < every:
+            return last_snap
+        dst = os.path.join(
+            os.path.dirname(live), f"train_state_step{step}.msgpack"
+        )
+        os.replace(tmp, dst)
+        tmp = None
+        print(f"[snapshot] step {step} -> {dst}", flush=True)
+        return step
+    finally:
+        if tmp is not None and os.path.exists(tmp):
+            os.remove(tmp)
 
 
 def main(argv=None):
