@@ -74,6 +74,9 @@ class SyntheticSphereDataset(DatasetBase):
         self.lindisp = False
         self.white_bkgd = white_bkgd
         H, W = self.image_size
+        # focal may be overridden post-init with a scalar or an (fx, fy)
+        # pair — per-axis intrinsics are the DTU convention
+        # (reference DVRDataset.py:157-238)
         self.focal = 1.2 * W
         self.c = np.array([W * 0.5, H * 0.5], dtype=np.float32)
         # scenes are deterministic per index, so cache decoded objects
@@ -123,10 +126,13 @@ class SyntheticSphereDataset(DatasetBase):
             np.arange(H, dtype=np.float32), np.arange(W, dtype=np.float32),
             indexing="ij",
         )
+        f = np.broadcast_to(
+            np.asarray(self.focal, np.float32).reshape(-1), (2,)
+        )
         dirs = np.stack(
             [
-                (xs - self.c[0]) / self.focal,
-                -(ys - self.c[1]) / self.focal,
+                (xs - self.c[0]) / f[0],
+                -(ys - self.c[1]) / f[1],
                 -np.ones_like(xs),
             ],
             axis=-1,
@@ -164,7 +170,8 @@ class SyntheticSphereDataset(DatasetBase):
         data = {
             "path": f"synthetic/{index:04d}",
             "img_id": index,
-            "focal": np.float32(self.focal),
+            "focal": np.asarray(self.focal, np.float32)
+            if np.ndim(self.focal) else np.float32(self.focal),
             "c": self.c.copy(),
             "images": np.stack(imgs).astype(np.float32),
             "masks": np.stack(masks),

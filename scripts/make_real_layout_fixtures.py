@@ -59,7 +59,9 @@ def _scene_source(num_objs, num_views, hw, focal, c, seed, stage="train",
         num_objects=num_objs, num_views=num_views, image_size=hw, seed=seed,
         stage=stage, white_bkgd=white_bkgd,
     )
-    ds.focal = float(focal)
+    ds.focal = (
+        np.asarray(focal, np.float32) if np.ndim(focal) else float(focal)
+    )
     ds.c = np.asarray(c, dtype=np.float32).copy()
     return ds
 
@@ -125,11 +127,15 @@ def write_dtu_layout(out, num_scans=2, num_views=49, hw=(300, 400), seed=23,
     convention (what DVRDataset(sub_format="dtu") must output).
     """
     H, W = hw
-    focal = 1.05 * W
-    # off-center principal point — real DTU K has one
+    # genuinely anamorphic per-axis focal (fx != fy) and off-center
+    # principal point — real DTU K has both (DVRDataset.py:157-238
+    # decomposes P = K[R|t] into per-axis fx, fy, cx, cy)
+    focal = np.array([1.05 * W, 0.97 * W], np.float64)
     c = (W / 2.0 + 3.7, H / 2.0 - 2.2)
-    K = np.array([[focal, 0.0, c[0]], [0.0, focal, c[1]], [0.0, 0.0, 1.0]],
-                 np.float64)
+    K = np.array(
+        [[focal[0], 0.0, c[0]], [0.0, focal[1], c[1]], [0.0, 0.0, 1.0]],
+        np.float64,
+    )
     # genuine non-identity normalization: unit-sphere scale + recenter
     norm_scale = 2.7
     norm_trans = np.array([0.31, -0.22, 0.47], np.float64)

@@ -34,6 +34,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REF_ROOT = "/root/reference"
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
+sys.path.insert(0, os.path.join(REPO, "scripts"))
 
 
 def load_reference_modules():
@@ -75,6 +76,42 @@ def load_reference_modules():
     return ref_model, ref_nerf
 
 
+# Tracked-config presets (VERDICT r4 #2): each exercises a distinct trained
+# regime of the reference —
+#   srn:  single-view, use_first_pool=True, scalar focal (conf/exp/srn.conf)
+#   mv:   NS=2 multi-view combine_layer=3 fusion (conf/default_mv.conf:7-21)
+#   sn64: NS=2 + use_first_pool=False encoder path (conf/exp/sn64.conf,
+#         reference encoder.py:130-148)
+#   dtu:  NS=3, per-axis (fx, fy, cx, cy) intrinsics flowing through OUR
+#         dvr adapter from a genuine anamorphic K[R|t] cameras.npz fixture
+#         (reference DVRDataset.py:157-238), white_bkgd=False
+PRESETS = {
+    "srn": dict(conf_rel="conf/exp/srn.conf", ns=1, size=64),
+    "mv": dict(conf_rel="conf/default_mv.conf", ns=2, size=64),
+    "sn64": dict(conf_rel="conf/exp/sn64.conf", ns=2, size=64),
+    "dtu": dict(conf_rel="conf/exp/dtu.conf", ns=3, size=None,
+                dtu_fixture=True),
+}
+
+
+def make_dtu_fixture_dataset(root, num_views=12, hw=(48, 64)):
+    """Write the anamorphic-K DTU real-layout fixture and open it through
+    the production dvr adapter — per-axis intrinsics reach training the
+    same way they reach it from the real IDR DTU release."""
+    from make_real_layout_fixtures import write_dtu_layout
+
+    from pixelnerf_tpu.data.dvr import DVRDataset
+
+    write_dtu_layout(root, num_scans=2, num_views=num_views, hw=hw,
+                     splits={"train": ["scan100", "scan101"],
+                             "val": ["scan101"], "test": ["scan101"]})
+    ds = DVRDataset(
+        os.path.join(root, "rs_dtu_4"), stage="train", list_prefix="new_",
+        sub_format="dtu", scale_focal=False, z_near=1.0, z_far=3.0,
+    )
+    return ds
+
+
 def train_proxy(
     steps=300,
     rays_per_step=96,
@@ -86,11 +123,27 @@ def train_proxy(
     num_objects=4,
     num_views=8,
     conf_rel="conf/exp/srn.conf",
+    ns=1,
+    dataset=None,
     log_every=20,
     quiet=False,
 ):
-    """Train the reference net; returns (net, history dict)."""
+    """Train the reference net; returns (net, history dict).
+
+    ``ns`` source views are encoded per step (the multi-view combine path
+    when >1). ``dataset`` overrides the synthetic source (e.g. the
+    dvr-adapter-fed DTU fixture); per-axis (2,) focal / (2,) c from the
+    object dicts flow through encode and ray generation.
+    """
     import torch
+
+    # jax is used only for ray generation here — pin it to CPU so the
+    # first jnp call can't initialize (and potentially block on) the
+    # tunneled TPU backend. No-op under the test harness, which already
+    # pins cpu in conftest.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
     ref_model, ref_nerf = load_reference_modules()
     from pixelnerf_tpu.config import load_config
@@ -106,13 +159,15 @@ def train_proxy(
     # not render fidelity, are the goal)
     conf["renderer"]["n_coarse"] = n_coarse
     conf["renderer"]["n_fine"] = n_fine
+    white_bkgd = conf["renderer"].get_bool("white_bkgd", True)
     renderer = ref_nerf.NeRFRenderer.from_conf(
-        conf["renderer"], white_bkgd=True, lindisp=False
+        conf["renderer"], white_bkgd=white_bkgd, lindisp=False
     ).train()
     render_par = renderer.bind_parallel(net, gpus=None)
 
-    dset = SyntheticSphereDataset(
-        num_objects=num_objects, num_views=num_views, image_size=(size, size)
+    dset = dataset if dataset is not None else SyntheticSphereDataset(
+        num_objects=num_objects, num_views=num_views, image_size=(size, size),
+        white_bkgd=white_bkgd,
     )
     z_near, z_far = dset.z_near, dset.z_far
 
@@ -122,23 +177,29 @@ def train_proxy(
     t0 = time.time()
     for it in range(steps):
         obj = dset[int(rng.integers(len(dset)))]
-        NV = obj["images"].shape[0]
-        src = int(rng.integers(NV))
+        NV, H, W = obj["images"].shape[:3]
+        src = rng.choice(NV, size=ns, replace=False)
         tgt = int(rng.integers(NV))
         images = torch.from_numpy(
-            obj["images"][None, src : src + 1].transpose(0, 1, 4, 2, 3)
-        )  # (1,1,3,H,W) in [-1,1]
-        poses = torch.from_numpy(obj["poses"][None, src : src + 1])
-        focal = torch.tensor(float(obj["focal"]))
-        c = torch.from_numpy(obj["c"][None])
+            obj["images"][None, src].transpose(0, 1, 4, 2, 3)
+        )  # (1,NS,3,H,W) in [-1,1]
+        poses = torch.from_numpy(obj["poses"][None, src])
+        f = np.asarray(obj["focal"], np.float32)
+        # per-axis (fx, fy) must reach the reference as a 2-D tensor:
+        # its encode treats 1-D focal as PER-VIEW scalars (models.py:119-128)
+        focal = (
+            torch.from_numpy(f[None]) if f.ndim == 1
+            else torch.tensor(float(f))
+        )
+        c = torch.from_numpy(np.asarray(obj["c"], np.float32)[None])
 
         cam_rays = np.asarray(
             geometry.gen_rays(
-                obj["poses"][None, tgt], size, size, obj["focal"],
+                obj["poses"][None, tgt], W, H, obj["focal"],
                 z_near, z_far, c=obj["c"][None],
             )
         ).reshape(-1, 8)
-        pix = rng.integers(0, size * size, rays_per_step)
+        pix = rng.integers(0, H * W, rays_per_step)
         rays = torch.from_numpy(cam_rays[pix][None])  # (1,R,8)
         rgb_gt = torch.from_numpy(
             (obj["images"][tgt].reshape(-1, 3)[pix][None] * 0.5 + 0.5).astype(
@@ -172,25 +233,38 @@ def train_proxy(
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="srn", choices=sorted(PRESETS))
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--rays", type=int, default=96)
-    ap.add_argument("--size", type=int, default=64)
+    ap.add_argument("--size", type=int, default=None,
+                    help="image size; default from preset")
     ap.add_argument("--n_coarse", type=int, default=32)
     ap.add_argument("--n_fine", type=int, default=16)
-    ap.add_argument("--out", default=os.path.join(REPO, "checkpoints", "_proxy_srn"))
+    ap.add_argument("--out", default=None,
+                    help="default checkpoints/_proxy_<preset>")
     args = ap.parse_args()
 
     import torch
 
-    net, history = train_proxy(
-        steps=args.steps, rays_per_step=args.rays, size=args.size,
-        n_coarse=args.n_coarse, n_fine=args.n_fine,
+    preset = PRESETS[args.preset]
+    out = args.out or os.path.join(
+        REPO, "checkpoints", f"_proxy_{args.preset}"
     )
-    os.makedirs(args.out, exist_ok=True)
-    ckpt = os.path.join(args.out, "pixel_nerf_latest")
+    dataset = None
+    if preset.get("dtu_fixture"):
+        dataset = make_dtu_fixture_dataset(os.path.join(out, "fixture"))
+    net, history = train_proxy(
+        steps=args.steps, rays_per_step=args.rays,
+        size=args.size or preset["size"] or 64,
+        n_coarse=args.n_coarse, n_fine=args.n_fine,
+        conf_rel=preset["conf_rel"], ns=preset["ns"], dataset=dataset,
+    )
+    os.makedirs(out, exist_ok=True)
+    ckpt = os.path.join(out, "pixel_nerf_latest")
     # exact released on-disk format: trainlib/trainer.py:193-196
     torch.save(net.state_dict(), ckpt)
-    with open(os.path.join(args.out, "proxy_meta.json"), "w") as f:
+    history["preset"] = args.preset
+    with open(os.path.join(out, "proxy_meta.json"), "w") as f:
         json.dump(history, f, indent=1)
     print(f"saved {ckpt}")
     print(json.dumps(history))

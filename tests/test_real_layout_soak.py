@@ -83,8 +83,11 @@ def test_dtu_layout_roundtrip(tmp_path):
     # the adapter must invert the genuine K[R|t] product AND undo the
     # scale_mat normalization to land back on the generating poses
     np.testing.assert_allclose(d["poses"], t["poses"], atol=1e-4)
+    # the fixture's K is anamorphic (fx != fy) — the adapter must recover
+    # the per-axis pair, not an averaged scalar
     np.testing.assert_allclose(np.asarray(d["focal"]),
-                               [t["focal"], t["focal"]], rtol=1e-4)
+                               np.broadcast_to(t["focal"], (2,)), rtol=1e-4)
+    assert abs(float(t["focal"][0]) - float(t["focal"][1])) > 1.0
     np.testing.assert_allclose(np.asarray(d["c"]), t["c"], atol=1e-3)
     assert d["images"].shape == (6, 48, 64, 3)
     assert "bbox" not in d  # dtu path discards bboxes (reference :238)
