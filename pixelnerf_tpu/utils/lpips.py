@@ -85,8 +85,10 @@ def lpips_distance(params: Dict[str, Any], img0: jax.Array, img1: jax.Array) -> 
     :param img0, img1: (B, H, W, 3) in [-1, 1]
     :return: (B,) distances
     """
-    shift = jnp.asarray(_SHIFT)
-    scale = jnp.asarray(_SCALE)
+    # dtype-polymorphic: follow the input dtype so a bf16 metric path works
+    # (conv requires matching operand dtypes)
+    shift = jnp.asarray(_SHIFT, img0.dtype)
+    scale = jnp.asarray(_SCALE, img0.dtype)
     x0 = (img0 - shift) / scale
     x1 = (img1 - shift) / scale
     taps0 = _vgg_taps(params, x0)

@@ -145,6 +145,61 @@ def test_lpips_matches_recorded_package_outputs():
     np.testing.assert_allclose(ours, rec["dists"], rtol=1e-4, atol=1e-6)
 
 
+def test_lpips_matches_committed_referee_fixture():
+    """Committed deterministic golden (VERDICT r4 #7): the torch referee's
+    outputs for numpy-deterministic weights/inputs were recorded ONCE and
+    committed (tests/fixtures/lpips_referee_golden.npz, 1 KB), so this
+    comparison no longer depends on torch being importable — the only open
+    question left on LPIPS is the real package weights (network-gated
+    fixture above)."""
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rec = np.load(
+        os.path.join(root, "tests", "fixtures", "lpips_referee_golden.npz")
+    )
+    rng = np.random.default_rng(int(rec["img_seed"]))
+    shape = tuple(rec["shape"])
+    img0 = rng.uniform(-1, 1, shape).astype(np.float32)
+    img1 = rng.uniform(-1, 1, shape).astype(np.float32)
+    for seed, fmt in ((1, False), (7, True)):
+        sd = _random_torch_state_dict(seed=seed, full_lpips_format=fmt)
+        params = import_lpips_state_dict(sd)
+        ours = np.asarray(lpips_distance(params, img0, img1))
+        np.testing.assert_allclose(
+            ours, rec[f"ref_seed{seed}_full{int(fmt)}"], rtol=2e-4, atol=2e-6
+        )
+
+
+def test_lpips_bf16_drift():
+    """bf16-activations LPIPS must stay within a small relative drift of the
+    f32 result — the dtype the TPU metric path may run in."""
+    import jax.numpy as jnp
+    import jax.tree_util as jtu
+
+    sd = _random_torch_state_dict(seed=1)
+    params = import_lpips_state_dict(sd)
+    rng = np.random.default_rng(2)
+    img0 = rng.uniform(-1, 1, (2, 35, 37, 3)).astype(np.float32)
+    img1 = rng.uniform(-1, 1, (2, 35, 37, 3)).astype(np.float32)
+    f32 = np.asarray(lpips_distance(params, img0, img1), np.float64)
+    params_bf = jtu.tree_map(
+        lambda x: jnp.asarray(x, jnp.bfloat16)
+        if getattr(x, "dtype", None) == jnp.float32 else x,
+        params,
+    )
+    bf = np.asarray(
+        lpips_distance(
+            params_bf, jnp.asarray(img0, jnp.bfloat16),
+            jnp.asarray(img1, jnp.bfloat16),
+        ),
+        np.float64,
+    )
+    rel = float(np.max(np.abs(bf - f32) / np.maximum(np.abs(f32), 1e-9)))
+    print(f"lpips bf16 drift: rel={rel:.3e} f32={f32} bf16={bf}")
+    assert rel < 0.05, f"bf16 LPIPS drifts {rel:.3e} from f32"
+
+
 def test_lpips_import_rejects_incomplete():
     sd = _random_torch_state_dict(seed=1)
     sd.pop("lin2.model.1.weight")
