@@ -20,7 +20,8 @@ _COORD_TRANS = np.diag(np.array([1.0, -1.0, -1.0, 1.0], dtype=np.float32))
 
 class SRNDataset(DatasetBase):
     def __init__(
-        self, path, stage="train", image_size=(128, 128), world_scale=1.0
+        self, path, stage="train", image_size=(128, 128), world_scale=1.0,
+        z_near=None, z_far=None,
     ):
         self.base_path = path + "_" + stage
         self.dataset_name = os.path.basename(path)
@@ -44,6 +45,14 @@ class SRNDataset(DatasetBase):
             self.z_near, self.z_far = 1.25, 2.75
         else:
             self.z_near, self.z_far = 0.8, 1.8
+        # explicit bounds (e.g. --override data.z_near=1.0) beat the
+        # class-name defaults — needed when SRN-layout data holds scenes
+        # with other depth ranges (the reference hardcodes per-class bounds,
+        # SRNDataset.py:50-55)
+        if z_near is not None:
+            self.z_near = float(z_near)
+        if z_far is not None:
+            self.z_far = float(z_far)
         self.lindisp = False
 
     def __len__(self):

@@ -241,16 +241,25 @@ def main():
     ap.add_argument("--objs", type=int, default=None)
     ap.add_argument("--views", type=int, default=None)
     ap.add_argument("--size", type=int, default=None)
+    ap.add_argument("--seed", type=int, default=None,
+                    help="scene seed; seed 0 reproduces the in-memory "
+                    "synthetic generator's scenes exactly (same class, "
+                    "same stage offsets) so a disk-fed run continues a "
+                    "generator-fed one")
+    ap.add_argument("--eval_objs", type=int, default=None,
+                    help="val/test object count (default objs//4)")
     args = ap.parse_args()
 
     if args.format == "srn":
         objs, views = args.objs or 15, args.views or 50
         size = args.size or 128
-        for stage, n in (("train", objs), ("val", max(2, objs // 4)),
-                         ("test", max(2, objs // 4))):
+        n_eval = args.eval_objs or max(2, objs // 4)
+        seed = 11 if args.seed is None else args.seed
+        for stage, n in (("train", objs), ("val", n_eval), ("test", n_eval)):
             t = write_srn_layout(args.out, stage=stage, num_objs=n,
-                                 num_views=views, size=size)
-            print(f"srn {stage}: {len(t)} objs x {views} views @ {size}^2")
+                                 num_views=views, size=size, seed=seed)
+            print(f"srn {stage}: {len(t)} objs x {views} views @ {size}^2",
+                  flush=True)
     elif args.format == "dtu":
         t = write_dtu_layout(args.out, num_scans=args.objs or 4,
                              num_views=args.views or 49,
