@@ -52,6 +52,7 @@ class DVRDataset(DatasetBase):
         z_near=1.2,
         z_far=4.0,
         seed=1234,
+        cache_cap=0,
     ):
         self.base_path = path
         assert os.path.exists(path), path
@@ -77,6 +78,10 @@ class DVRDataset(DatasetBase):
         self.z_near = z_near
         self.z_far = z_far
         self.lindisp = False
+        # opt-in decoded-object cache (--override data.cache_cap=N); objects
+        # subject to max_imgs random subsampling are never cached so the
+        # per-epoch re-draw semantics (reference DVRDataset max_imgs) hold
+        self._cache_setup(cache_cap)
         self._rng = np.random.default_rng(seed)
 
     def __len__(self):
@@ -84,6 +89,10 @@ class DVRDataset(DatasetBase):
 
     def __getitem__(self, index):
         import imageio.v2 as imageio
+
+        cached = self._cache_get(index)
+        if cached is not None:
+            return cached
 
         cat, root_dir = self.all_objs[index]
         rgb_paths = sorted(
@@ -95,7 +104,8 @@ class DVRDataset(DatasetBase):
         if len(mask_paths) == 0:
             mask_paths = [None] * len(rgb_paths)
 
-        if len(rgb_paths) <= self.max_imgs:
+        cacheable = len(rgb_paths) <= self.max_imgs
+        if cacheable:
             sel_indices = np.arange(len(rgb_paths))
         else:
             sel_indices = self._rng.choice(len(rgb_paths), self.max_imgs, replace=False)
@@ -197,4 +207,4 @@ class DVRDataset(DatasetBase):
             result["masks"] = masks_arr
         if bboxes is not None:
             result["bbox"] = bboxes
-        return result
+        return self._cache_put(index, result) if cacheable else result

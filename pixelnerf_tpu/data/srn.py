@@ -21,7 +21,7 @@ _COORD_TRANS = np.diag(np.array([1.0, -1.0, -1.0, 1.0], dtype=np.float32))
 class SRNDataset(DatasetBase):
     def __init__(
         self, path, stage="train", image_size=(128, 128), world_scale=1.0,
-        z_near=None, z_far=None,
+        z_near=None, z_far=None, cache_cap=0,
     ):
         self.base_path = path + "_" + stage
         self.dataset_name = os.path.basename(path)
@@ -54,12 +54,20 @@ class SRNDataset(DatasetBase):
         if z_far is not None:
             self.z_far = float(z_far)
         self.lindisp = False
+        # opt-in decoded-object cache (--override data.cache_cap=N): the
+        # reference re-decodes per pull (SRNDataset.py), which starves a
+        # TPU step loop on a small host — see DatasetBase._cache_setup
+        self._cache_setup(cache_cap)
 
     def __len__(self):
         return len(self.intrins)
 
     def __getitem__(self, index):
         import imageio.v2 as imageio
+
+        cached = self._cache_get(index)
+        if cached is not None:
+            return cached
 
         intrin_path = self.intrins[index]
         dir_path = os.path.dirname(intrin_path)
@@ -101,7 +109,7 @@ class SRNDataset(DatasetBase):
             focal *= self.world_scale
             poses[:, :3, 3] *= self.world_scale
 
-        return {
+        return self._cache_put(index, {
             "path": dir_path,
             "img_id": index,
             "focal": np.float32(focal),
@@ -110,4 +118,4 @@ class SRNDataset(DatasetBase):
             "masks": masks.astype(np.float32),
             "bbox": bboxes.astype(np.float32),
             "poses": poses.astype(np.float32),
-        }
+        })

@@ -85,8 +85,7 @@ class SyntheticSphereDataset(DatasetBase):
         # num_objects, raise via --override data.cache_cap=<num_objects>
         # (a thrashing cache costs 2-3x step time; 125 GB host RAM holds
         # thousands of scenes easily)
-        self._cache: dict = {}
-        self._cache_cap = int(cache_cap)
+        self._cache_setup(cache_cap)
 
     def __len__(self):
         return self.num_objects
@@ -152,7 +151,7 @@ class SyntheticSphereDataset(DatasetBase):
         )
 
     def __getitem__(self, index):
-        cached = self._cache.get(index)
+        cached = self._cache_get(index)
         if cached is not None:
             return cached
         poses = self._poses(index)
@@ -178,13 +177,4 @@ class SyntheticSphereDataset(DatasetBase):
             "bbox": np.stack(bboxes),
             "poses": poses.astype(np.float32),
         }
-        # thread-safe FIFO eviction: the ray pipeline fetches objects from a
-        # thread pool, so two threads can race to evict the same oldest key —
-        # pop defensively instead of crashing the epoch on a KeyError
-        while len(self._cache) >= self._cache_cap:
-            try:
-                self._cache.pop(next(iter(self._cache)), None)
-            except (StopIteration, RuntimeError):
-                break
-        self._cache[index] = data
-        return data
+        return self._cache_put(index, data)

@@ -53,7 +53,10 @@ def save_checkpoint(ckpt_dir: str, state: TrainState) -> str:
 
 def load_checkpoint(ckpt_dir: str, template: TrainState) -> Optional[TrainState]:
     """Restore into the template's structure; falls back to the backup file
-    if the primary is corrupt. Returns None if nothing to restore."""
+    if the primary is corrupt, and to a PARTIAL restore (params,
+    batch_stats, step — optimizer reinitialized from the template) when the
+    optimizer-state structure changed between runs (e.g. adding an LR
+    schedule wraps the Adam state). Returns None if nothing to restore."""
     path = os.path.join(ckpt_dir, CKPT_NAME)
     for candidate in (path, path + BACKUP_SUFFIX):
         if not os.path.exists(candidate):
@@ -61,8 +64,29 @@ def load_checkpoint(ckpt_dir: str, template: TrainState) -> Optional[TrainState]
         try:
             with open(candidate, "rb") as f:
                 return flax.serialization.from_bytes(template, f.read())
-        except Exception as e:  # corrupt file: try backup
+        except Exception as e:  # corrupt file or structure change
             print(f"WARNING: failed to load {candidate}: {e}")
+        try:
+            with open(candidate, "rb") as f:
+                raw = flax.serialization.msgpack_restore(f.read())
+            restored = template.replace(
+                params=flax.serialization.from_state_dict(
+                    template.params, raw["params"]
+                ),
+                batch_stats=flax.serialization.from_state_dict(
+                    template.batch_stats, raw.get("batch_stats", {})
+                ),
+                step=jax.numpy.asarray(raw.get("step", 0), jax.numpy.int32),
+            )
+            print(
+                f"WARNING: partial restore from {candidate}: params/"
+                f"batch_stats/step={int(restored.step)} restored, optimizer "
+                "state REINITIALIZED (structure changed between runs — "
+                "expect a brief Adam-moment warmup transient)"
+            )
+            return restored
+        except Exception as e:
+            print(f"WARNING: partial restore of {candidate} failed: {e}")
     return None
 
 
