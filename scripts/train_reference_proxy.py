@@ -199,7 +199,22 @@ def train_proxy(
                 z_near, z_far, c=obj["c"][None],
             )
         ).reshape(-1, 8)
-        pix = rng.integers(0, H * W, rays_per_step)
+        # Foreground-biased pixel sampling (the reference's bbox_sample
+        # phase, train/train.py:128-133): uniform sampling is ~75%
+        # background and a 300-step CPU run collapses to the constant-
+        # background local minimum (loss falls, geometry never forms —
+        # which also makes any parity render vacuous). 75% of rays hit
+        # foreground pixels, the rest stay uniform.
+        bg = 1.0 if white_bkgd else -1.0  # images are in [-1, 1]
+        fg = np.flatnonzero(
+            np.abs(obj["images"][tgt] - bg).max(-1).reshape(-1) > 0.05
+        )
+        n_fg = min(int(0.75 * rays_per_step), len(fg))
+        pix = np.concatenate([
+            rng.choice(fg, size=n_fg, replace=True) if n_fg else
+            np.empty(0, np.int64),
+            rng.integers(0, H * W, rays_per_step - n_fg),
+        ])
         rays = torch.from_numpy(cam_rays[pix][None])  # (1,R,8)
         rgb_gt = torch.from_numpy(
             (obj["images"][tgt].reshape(-1, 3)[pix][None] * 0.5 + 0.5).astype(
@@ -228,6 +243,39 @@ def train_proxy(
                 flush=True,
             )
     history["wall_s"] = round(time.time() - t0, 1)
+
+    # post-train sanity: the checkpoint must render CONTENT, not the
+    # constant background (the collapse mode foreground biasing exists to
+    # avoid). Recorded in proxy_meta.json; the parity test asserts
+    # non-degeneracy independently.
+    net.eval()
+    obj = dset[0]
+    NV, H, W = obj["images"].shape[:3]
+    src = np.arange(ns)
+    tgt_v = ns % NV
+    f = np.asarray(obj["focal"], np.float32)
+    with torch.no_grad():
+        net.encode(
+            torch.from_numpy(obj["images"][None, src].transpose(0, 1, 4, 2, 3)),
+            torch.from_numpy(obj["poses"][None, src]),
+            torch.from_numpy(f[None]) if f.ndim == 1
+            else torch.tensor(float(f)),
+            c=torch.from_numpy(np.asarray(obj["c"], np.float32)[None]),
+        )
+        rays = np.asarray(
+            geometry.gen_rays(
+                obj["poses"][None, tgt_v], W, H, obj["focal"],
+                z_near, z_far, c=obj["c"][None],
+            )
+        ).reshape(1, -1, 8)
+        out = render_par(torch.from_numpy(rays))
+    key = "fine" if "fine" in out and len(out["fine"]) else "coarse"
+    pred = out[key]["rgb"].numpy().reshape(H, W, 3)
+    gt = obj["images"][tgt_v] * 0.5 + 0.5
+    mse = float(np.mean((pred - gt) ** 2))
+    history["render_std"] = round(float(pred.std()), 4)
+    history["render_psnr"] = round(-10.0 * np.log10(max(mse, 1e-10)), 2)
+    net.train()
     return net, history
 
 

@@ -194,10 +194,43 @@ def test_trained_proxy_parity(monkeypatch, tmp_path, preset):
         ckpt = str(tmp_path / "pixel_nerf_latest")
         torch.save(net.state_dict(), ckpt)
     _run_parity(preset, ckpt, monkeypatch, bf16_check=True,
-                case=PROXY_CASES[preset])
+                case=PROXY_CASES[preset],
+                scene=_proxy_scene(preset, PROXY_CASES[preset][1], trp,
+                                   tmp_path))
 
 
-def _run_parity(expname, ckpt, monkeypatch, bf16_check=False, case=None):
+def _proxy_scene(preset, geo, trp, tmp_path):
+    """Real conditioning data from the distribution each proxy TRAINED on.
+
+    Random-noise source images make trained-checkpoint parity vacuous: a
+    trained field correctly predicts ~zero density for noise features, both
+    stacks composite to the exact background color, and the comparison is
+    inf-dB on constants. Encode actual scene views and aim rays at a held
+    target view instead; _run_parity additionally asserts the render is
+    non-degenerate."""
+    if preset == "dtu":
+        ds = trp.make_dtu_fixture_dataset(str(tmp_path / "scene_fixture"))
+    else:
+        from pixelnerf_tpu.data.synthetic import SyntheticSphereDataset
+
+        # same constructor defaults train_proxy uses
+        ds = SyntheticSphereDataset(
+            num_objects=4, num_views=8, image_size=(geo["H"], geo["W"])
+        )
+    obj = ds[0]
+    NS = geo["NS"]
+    return {
+        "images": obj["images"][None, :NS].astype(np.float32),
+        "poses": obj["poses"][None, :NS].astype(np.float32),
+        "target_pose": obj["poses"][NS].astype(np.float32),
+        "focal": np.asarray(obj["focal"], np.float32),
+        "c": np.asarray(obj["c"], np.float32),
+        "z": (float(ds.z_near), float(ds.z_far)),
+    }
+
+
+def _run_parity(expname, ckpt, monkeypatch, bf16_check=False, case=None,
+                scene=None):
     import torch
 
     import jax
@@ -226,35 +259,53 @@ def _run_parity(expname, ckpt, monkeypatch, bf16_check=False, case=None):
     )
 
     H, W, NS = geo["H"], geo["W"], geo["NS"]
-    z_near, z_far = geo["z"]
     B = 32
-    rng = np.random.default_rng(1)
-    images = rng.uniform(-1, 1, (1, NS, H, W, 3)).astype(np.float32)
-    r_cam = 0.5 * (z_near + z_far)
-    poses = np.stack(
-        [
-            geometry.look_at(
-                np.array(
-                    [r_cam * np.sin(0.4 * v), 0.1 * v, r_cam * np.cos(0.4 * v)],
-                    np.float32,
-                ),
-                np.zeros(3),
-            )
-            for v in range(NS)
-        ]
-    ).astype(np.float32)[None]
-    # intrinsics: scalar focal, or per-axis (fx, fy) + principal point
-    # (cx, cy) — the DTU convention (DVRDataset.py:157-238)
-    focal = np.asarray(geo["focal"], np.float32)
-    c_geo = (
-        np.asarray(geo["c"], np.float32) if geo.get("c") is not None else None
-    )
-    rays = np.asarray(
+    if scene is not None:
+        # real conditioning views + rays into a held target view
+        images = scene["images"]
+        poses = scene["poses"]
+        ray_pose = scene["target_pose"][None]
+        focal = scene["focal"]
+        c_geo = scene["c"]
+        z_near, z_far = scene["z"]
+        H, W = images.shape[2], images.shape[3]
+    else:
+        z_near, z_far = geo["z"]
+        rng = np.random.default_rng(1)
+        images = rng.uniform(-1, 1, (1, NS, H, W, 3)).astype(np.float32)
+        r_cam = 0.5 * (z_near + z_far)
+        poses = np.stack(
+            [
+                geometry.look_at(
+                    np.array(
+                        [r_cam * np.sin(0.4 * v), 0.1 * v,
+                         r_cam * np.cos(0.4 * v)],
+                        np.float32,
+                    ),
+                    np.zeros(3),
+                )
+                for v in range(NS)
+            ]
+        ).astype(np.float32)[None]
+        ray_pose = poses[:, 0]
+        # intrinsics: scalar focal, or per-axis (fx, fy) + principal point
+        # (cx, cy) — the DTU convention (DVRDataset.py:157-238)
+        focal = np.asarray(geo["focal"], np.float32)
+        c_geo = (
+            np.asarray(geo["c"], np.float32)
+            if geo.get("c") is not None else None
+        )
+    all_rays = np.asarray(
         geometry.gen_rays(
-            jnp.asarray(poses[:, 0]), W, H, jnp.asarray(focal), z_near, z_far,
+            jnp.asarray(ray_pose), W, H, jnp.asarray(focal), z_near, z_far,
             c=None if c_geo is None else jnp.asarray(c_geo),
         )
-    ).reshape(1, -1, 8)[:, :: (H * W) // B][:, :B]
+    ).reshape(1, -1, 8)
+    # seeded scatter over the whole image — a raster STRIDE of (H*W)//B can
+    # alias to a single image column (e.g. stride 128 on a 64-wide image
+    # picks x=0 for every ray: all background, a vacuous comparison)
+    pick = np.sort(np.random.default_rng(5).choice(H * W, B, replace=False))
+    rays = all_rays[:, pick]
 
     # matched deterministic sampling (see test_reference_e2e)
     monkeypatch.setattr(torch, "rand_like", lambda x: torch.full_like(x, 0.5))
@@ -328,7 +379,15 @@ def _run_parity(expname, ckpt, monkeypatch, bf16_check=False, case=None):
         rgb_ref = np.asarray(out_ref[branch]["rgb"])
         rgb_ours = np.asarray(out[branch]["rgb"])
         assert rgb_ref.shape == rgb_ours.shape
+        if scene is not None:
+            # guard against a vacuous comparison: if the render were pure
+            # background in both stacks, inf-dB agreement would prove
+            # nothing. Trained proxies render real scene content here.
+            assert float(np.std(rgb_ref)) > 1e-3, (
+                f"{expname}/{branch}: degenerate (constant) reference render"
+            )
         psnr = _psnr(rgb_ours, rgb_ref)
+        print(f"parity {expname}/{branch}: cross-stack {psnr:.1f} dB")
         assert psnr > 50.0, (
             f"{expname}/{branch}: released-weight render disagrees "
             f"({psnr:.1f} dB)"
@@ -364,6 +423,7 @@ def _run_parity(expname, ckpt, monkeypatch, bf16_check=False, case=None):
             a = np.asarray(out_bf[branch]["rgb"], np.float32)
             b = np.asarray(out[branch]["rgb"], np.float32)
             psnr_bf = _psnr(a, b)
+            print(f"parity {expname}/{branch}: bf16-vs-f32 {psnr_bf:.1f} dB")
             assert psnr_bf > 30.0, (
                 f"{expname}/{branch}: bf16 render drifts from f32 at "
                 f"trained weights ({psnr_bf:.1f} dB)"
