@@ -117,7 +117,7 @@ def write_srn_layout(out, stage="train", num_objs=3, num_views=50, size=128,
 # --------------------------------------------------------------------------
 
 def write_dtu_layout(out, num_scans=2, num_views=49, hw=(300, 400), seed=23,
-                     splits=None):
+                     splits=None, white_bkgd=False):
     """``<out>/rs_dtu_4/DTU/scan<N>/{image/, cameras.npz}`` + new_*.lst.
 
     world_mat_i is the genuine K[R|t] product of the UN-normalized camera;
@@ -143,7 +143,7 @@ def write_dtu_layout(out, num_scans=2, num_views=49, hw=(300, 400), seed=23,
     scale_mat[:3, 3] = norm_trans
 
     ds = _scene_source(num_scans, num_views, (H, W), focal, c, seed,
-                       white_bkgd=False)
+                       white_bkgd=white_bkgd)
     dtu_dir = os.path.join(out, "rs_dtu_4", "DTU")
     os.makedirs(dtu_dir, exist_ok=True)
     truth, names = {}, []

@@ -97,12 +97,17 @@ PRESETS = {
 def make_dtu_fixture_dataset(root, num_views=12, hw=(48, 64)):
     """Write the anamorphic-K DTU real-layout fixture and open it through
     the production dvr adapter — per-axis intrinsics reach training the
-    same way they reach it from the real IDR DTU release."""
+    same way they reach it from the real IDR DTU release.
+
+    white_bkgd=True: the proxy trains in the opaque-world regime (see
+    train_proxy docstring) — white-surround images against black
+    compositing — so the collapse minimum does not exist."""
     from make_real_layout_fixtures import write_dtu_layout
 
     from pixelnerf_tpu.data.dvr import DVRDataset
 
     write_dtu_layout(root, num_scans=2, num_views=num_views, hw=hw,
+                     white_bkgd=True,
                      splits={"train": ["scan100", "scan101"],
                              "val": ["scan101"], "test": ["scan101"]})
     ds = DVRDataset(
@@ -119,7 +124,7 @@ def train_proxy(
     n_coarse=32,
     n_fine=16,
     lr=1e-4,
-    seed=3,
+    seed=7,
     num_objects=4,
     num_views=8,
     conf_rel="conf/exp/srn.conf",
@@ -127,6 +132,10 @@ def train_proxy(
     dataset=None,
     log_every=20,
     quiet=False,
+    fg_frac=0.75,
+    noise_std=0.0,
+    sigma_bias=4.0,
+    opaque_world=True,
 ):
     """Train the reference net; returns (net, history dict).
 
@@ -134,6 +143,30 @@ def train_proxy(
     when >1). ``dataset`` overrides the synthetic source (e.g. the
     dvr-adapter-fed DTU fixture); per-axis (2,) focal / (2,) c from the
     object dicts flow through encode and ray generation.
+
+    Anti-collapse design (learned the hard way — r4's proxy and three r5
+    retrains all collapsed to a constant render):
+
+    * The reference applies ``torch.relu(sigma)`` INSIDE the model
+      (models.py:263), so the renderer's ``noise_std`` (nerf.py:225-228,
+      added AFTER that relu) can never revive a dead sigma head — measured:
+      with noise 1.0 annealed over 70% of a 120-step run, eval alpha hit
+      0.95 at step 0 and was exactly 0.0 from step 15 on. Two structural
+      fixes instead:
+    * ``sigma_bias``: init ``lin_out.bias[3]`` positive (the standard NeRF
+      density-bias init) so relu(sigma) starts ALIVE at every point for
+      every seed. At bias 0 + kaiming weights the pre-activation sign is
+      nearly constant across inputs (the hidden vector is post-relu, all
+      >=0), so whole heads are born dead seed-by-seed (seed 3: fine head
+      0% positive at init).
+    * ``opaque_world``: train with renderer white_bkgd=False against
+      WHITE-background images — i.e. the white surround is scene CONTENT
+      (a photo-studio dome), not empty space. Zero density then renders
+      black and matches nothing, so "kill all density, paint the
+      background" — the absorbing constant minimum every uniform/biased
+      sampling variant collapsed into — simply does not exist in the loss
+      landscape. The parity render still uses the conf's own white_bkgd
+      through both stacks.
     """
     import torch
 
@@ -154,20 +187,47 @@ def train_proxy(
     conf["model"]["encoder"]["pretrained"] = False  # no downloaded weights
     torch.manual_seed(seed)
     net = ref_model.make_model(conf["model"]).train()
+    if sigma_bias:
+        # positive density-bias init (see docstring); sigma is output
+        # channel 3 of lin_out (reference models.py:261-263). The weight
+        # row is zeroed too: with kaiming weights the pre-activation w.h
+        # can sit several units below zero across the whole input domain
+        # (h is post-relu, all >=0, so one weight draw fixes the sign
+        # nearly everywhere — measured seed 3: fine head 0% positive),
+        # and a +1 bias alone does not clear it. sigma == sigma_bias at
+        # init, exactly alive everywhere; w re-grows from its gradient
+        # (d sigma/d w = h != 0). Zero-init rows are idiomatic for this
+        # architecture — the reference zero-inits every resnet block's
+        # fc_1 the same way (resnetfc.py:40-43).
+        with torch.no_grad():
+            for mlp in (getattr(net, "mlp_coarse", None),
+                        getattr(net, "mlp_fine", None)):
+                if mlp is not None and hasattr(mlp, "lin_out"):
+                    mlp.lin_out.weight[3].zero_()
+                    mlp.lin_out.bias[3] = float(sigma_bias)
 
     # reduced sample counts for CPU tractability (training-regime weights,
     # not render fidelity, are the goal)
     conf["renderer"]["n_coarse"] = n_coarse
     conf["renderer"]["n_fine"] = n_fine
-    white_bkgd = conf["renderer"].get_bool("white_bkgd", True)
+    conf["renderer"]["noise_std"] = float(noise_std)
+    # data background: white surround as scene content (docstring); the
+    # compositing background is black under opaque_world so empty space
+    # can never reproduce it
+    data_white_bkgd = True if opaque_world else conf["renderer"].get_bool(
+        "white_bkgd", True)
+    render_white_bkgd = False if opaque_world else data_white_bkgd
+    # must go through the conf: from_conf reads white_bkgd FROM the conf
+    # with the argument only as fallback (nerf.py:348)
+    conf["renderer"]["white_bkgd"] = render_white_bkgd
     renderer = ref_nerf.NeRFRenderer.from_conf(
-        conf["renderer"], white_bkgd=white_bkgd, lindisp=False
+        conf["renderer"], white_bkgd=render_white_bkgd, lindisp=False
     ).train()
     render_par = renderer.bind_parallel(net, gpus=None)
 
     dset = dataset if dataset is not None else SyntheticSphereDataset(
         num_objects=num_objects, num_views=num_views, image_size=(size, size),
-        white_bkgd=white_bkgd,
+        white_bkgd=data_white_bkgd,
     )
     z_near, z_far = dset.z_near, dset.z_far
 
@@ -200,16 +260,13 @@ def train_proxy(
             )
         ).reshape(-1, 8)
         # Foreground-biased pixel sampling (the reference's bbox_sample
-        # phase, train/train.py:128-133): uniform sampling is ~75%
-        # background and a 300-step CPU run collapses to the constant-
-        # background local minimum (loss falls, geometry never forms —
-        # which also makes any parity render vacuous). 75% of rays hit
-        # foreground pixels, the rest stay uniform.
-        bg = 1.0 if white_bkgd else -1.0  # images are in [-1, 1]
+        # phase, train/train.py:128-133): biases supervision toward object
+        # pixels so object appearance trains fast on a small CPU budget.
+        bg = 1.0 if data_white_bkgd else -1.0  # images are in [-1, 1]
         fg = np.flatnonzero(
             np.abs(obj["images"][tgt] - bg).max(-1).reshape(-1) > 0.05
         )
-        n_fg = min(int(0.75 * rays_per_step), len(fg))
+        n_fg = min(int(fg_frac * rays_per_step), len(fg))
         pix = np.concatenate([
             rng.choice(fg, size=n_fg, replace=True) if n_fg else
             np.empty(0, np.int64),
@@ -249,6 +306,7 @@ def train_proxy(
     # avoid). Recorded in proxy_meta.json; the parity test asserts
     # non-degeneracy independently.
     net.eval()
+    renderer.eval()  # noise off for the degeneracy check (nerf.py:225)
     obj = dset[0]
     NV, H, W = obj["images"].shape[:3]
     src = np.arange(ns)
@@ -276,6 +334,7 @@ def train_proxy(
     history["render_std"] = round(float(pred.std()), 4)
     history["render_psnr"] = round(-10.0 * np.log10(max(mse, 1e-10)), 2)
     net.train()
+    renderer.train()
     return net, history
 
 
@@ -290,6 +349,30 @@ def main():
     ap.add_argument("--n_fine", type=int, default=16)
     ap.add_argument("--out", default=None,
                     help="default checkpoints/_proxy_<preset>")
+    ap.add_argument("--objects", type=int, default=1,
+                    help="synthetic objects to train on; 1 = single-scene "
+                    "overfit (geometry reliably forms in a 300-step CPU "
+                    "budget; >1 risks the constant-background collapse)")
+    ap.add_argument("--views", type=int, default=8)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--fg_frac", type=float, default=0.875,
+                    help="fraction of rays biased to foreground pixels")
+    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--noise_std", type=float, default=0.0,
+                    help="training-time sigma noise (reference "
+                    "nerf.py:225-228); added AFTER the model's relu so it "
+                    "cannot revive a dead head — kept only as a knob")
+    ap.add_argument("--sigma_bias", type=float, default=4.0,
+                    help="positive density-bias init on lin_out.bias[3] "
+                    "(0 disables); guarantees relu(sigma) starts alive. "
+                    "Needs margin: early-Adam weight drift moves the "
+                    "pre-activation O(lr x d_hidden) per step (measured: "
+                    "bias 1 dies in 5 steps at lr 5e-4; bias 4 at lr 1e-4 "
+                    "stays alive with ~25x margin)")
+    ap.add_argument("--no_opaque_world", action="store_true",
+                    help="disable the white-surround-as-content regime "
+                    "(see train_proxy docstring) and train in the conf's "
+                    "own background mode — collapse-prone on CPU budgets")
     args = ap.parse_args()
 
     import torch
@@ -306,7 +389,16 @@ def main():
         size=args.size or preset["size"] or 64,
         n_coarse=args.n_coarse, n_fine=args.n_fine,
         conf_rel=preset["conf_rel"], ns=preset["ns"], dataset=dataset,
+        num_objects=args.objects, num_views=args.views, lr=args.lr,
+        fg_frac=args.fg_frac, seed=args.seed, noise_std=args.noise_std,
+        sigma_bias=args.sigma_bias, opaque_world=not args.no_opaque_world,
     )
+    if history["render_std"] < 1e-3:
+        print("FATAL: proxy collapsed to a constant render "
+              f"(std={history['render_std']}); not saving a degenerate "
+              "checkpoint. Retry with --objects 1 / higher --fg_frac.",
+              file=sys.stderr)
+        sys.exit(1)
     os.makedirs(out, exist_ok=True)
     ckpt = os.path.join(out, "pixel_nerf_latest")
     # exact released on-disk format: trainlib/trainer.py:193-196

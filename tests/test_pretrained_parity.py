@@ -184,10 +184,21 @@ def test_trained_proxy_parity(monkeypatch, tmp_path, preset):
         dataset = None
         if p.get("dtu_fixture"):
             dataset = trp.make_dtu_fixture_dataset(str(tmp_path / "fixture"))
+        # single-scene overfit, foreground-biased rays, and train_proxy's
+        # anti-collapse defaults (positive sigma-bias init + opaque-world
+        # regime — see its docstring): the constant-background absorbing
+        # minimum that made r4's parity vacuous cannot form. lr is capped
+        # low: early-Adam weight drift at 5e-4 pushes the whole sigma
+        # pre-activation through relu's dead zone within ~5 steps
+        # (measured), and the head never recovers. The dtu fixture (NS=3,
+        # 48x64, two scans) learns more slowly — at lr 1e-4 the 40-step
+        # loss delta sits inside per-step noise, so it gets 2e-4 (still
+        # ~20x drift margin at sigma_bias 4) and 60 steps.
+        steps, lr = (60, 2e-4) if preset == "dtu" else (40, 1e-4)
         net, history = trp.train_proxy(
-            steps=40, rays_per_step=64, size=p["size"] or 64, n_coarse=24,
+            steps=steps, rays_per_step=64, size=p["size"] or 64, n_coarse=24,
             n_fine=8, conf_rel=p["conf_rel"], ns=p["ns"], dataset=dataset,
-            quiet=True,
+            quiet=True, num_objects=1, lr=lr, fg_frac=0.875,
         )
         # trained, not just jittered: the loss must actually fall
         assert np.mean(history["loss_tail"]) < np.mean(history["loss_head"])
