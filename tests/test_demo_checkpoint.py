@@ -4,12 +4,14 @@ The reference's first-run workflow is download-weights -> run eval
 (reference README.md:85-120); with egress blocked, this repo commits an
 in-env-trained demo checkpoint (`demo/srn_demo/train_state.msgpack`,
 bf16 params, optimizer state stripped — scripts/export_demo_checkpoint.py)
-so eval/gen_video/eval_real run out of the box. This test exercises that
-load path (the same structure-free `load_variables` every eval app
-uses) and asserts the render is conditioned on the inputs rather than
-degenerate. Full-app quality numbers for the same checkpoint are in
-`results/demo_checkpoint.json` (recorded on-chip at export time); here
-a center-crop of one target view keeps the CPU cost test-suite friendly.
+so eval/gen_video run out of the box against the built-in synthetic
+dataset (the checkpoint's training distribution — no downloads). This
+test exercises that load path (the same structure-free `load_variables`
+every eval app uses) and asserts the render is (a) conditioned on the
+source views and (b) closer to the target than a degenerate render.
+Full-app quality for the same checkpoint is recorded in
+`results/demo_checkpoint.json` at export time; here a ::4-subsampled
+target view keeps the CPU cost test-suite friendly.
 """
 import os
 
@@ -45,39 +47,56 @@ def test_demo_checkpoint_loads_and_renders():
     step = int(np.asarray(variables.pop("step", 0)))
     assert step > 1000, f"demo checkpoint barely trained (step {step})"
 
-    # unseen scenes matching the demo's training distribution: the seed-0
-    # synthetic generator equals the seed-0 SRN-layout disk set the demo
-    # trained on (scripts/make_real_layout_fixtures.py --seed 0)
+    # unseen test scenes from the demo's exact training distribution
+    # (apps.train -F synthetic, data.num_objects=1024 at 128^2)
     dset = SyntheticSphereDataset(
         num_objects=1024, num_views=12, image_size=(128, 128), stage="test",
         seed=0,
     )
     d = dset[0]
-    images = jnp.asarray(d["images"][None, :1])  # condition on view 0
-    poses = jnp.asarray(d["poses"][None, :1])
+    srcs = [0, 6]
+    images = jnp.asarray(d["images"][None, srcs])
+    poses = jnp.asarray(d["poses"][None, srcs])
     focal = jnp.asarray(d["focal"])
     enc = net.apply(variables, images, poses, focal, method=net.encode)
 
-    # a 32x32 center crop of target view 3: enough rays to carry scene
-    # structure, small enough for CPU
-    t = 3
+    # every 4th pixel of target view 1: full-frame coverage, CPU-cheap
+    t = 1
     H = W = 128
     rays = np.asarray(geometry.gen_rays(
         jnp.asarray(d["poses"][t : t + 1]), W, H, focal,
         dset.z_near, dset.z_far,
-    ))[0]  # (H, W, 8)
-    sl = slice(48, 80)
-    crop_rays = rays[sl, sl].reshape(1, -1, 8)
+    ))[0][::4, ::4].reshape(1, -1, 8)
+    gt = (d["images"][t, ::4, ::4] * 0.5 + 0.5).astype(np.float32)
+
     cfg = RenderConfig.from_conf(conf.get("renderer") or {})
     fr = FullRenderer(net, cfg, ray_chunk=1024)
-    out = fr.render_batch(variables, enc, crop_rays, jax.random.PRNGKey(0))
-    branch = out["fine"] if cfg.using_fine else out["coarse"]
-    rgb = np.clip(np.asarray(branch["rgb"], np.float32), 0, 1).reshape(32, 32, 3)
-    gt = (d["images"][t, sl, sl] * 0.5 + 0.5).astype(np.float32)
 
+    def render(encoding):
+        out = fr.render_batch(variables, encoding, rays, jax.random.PRNGKey(0))
+        branch = out["fine"] if cfg.using_fine else out["coarse"]
+        return np.clip(
+            np.asarray(branch["rgb"], np.float32), 0, 1
+        ).reshape(32, 32, 3)
+
+    rgb = render(enc)
     assert np.isfinite(rgb).all()
-    # conditioned + non-degenerate: the crop contains the object, so a
-    # constant render scores poorly and has ~zero variance
     assert rgb.std() > 0.05, f"degenerate render (std {rgb.std():.4f})"
-    psnr = metrics.psnr(rgb, gt)
-    assert psnr > 12.0, f"demo checkpoint renders poorly: {psnr:.2f} dB"
+
+    # beats the best constant render of the target by a clear margin
+    const = np.full_like(gt, gt.mean(axis=(0, 1), keepdims=True))
+    psnr = float(metrics.psnr(rgb, gt))
+    psnr_const = float(metrics.psnr(const, gt))
+    assert psnr > psnr_const + 2.0, (
+        f"demo render {psnr:.2f} dB vs constant baseline {psnr_const:.2f} dB"
+    )
+
+    # pixel-conditioned: swapping in a different object's source views must
+    # change the render materially
+    d2 = dset[5]
+    enc2 = net.apply(
+        variables, jnp.asarray(d2["images"][None, srcs]),
+        jnp.asarray(d2["poses"][None, srcs]), focal, method=net.encode,
+    )
+    rgb2 = render(enc2)
+    assert np.abs(rgb - rgb2).max() > 0.1, "render ignores conditioning"
